@@ -1,0 +1,84 @@
+"""Reference-format CSV IO (≈ lib/csv.c).
+
+Format contract (lib/csv.c:7-16,40-52,59-70; SURVEY.md §7.12):
+- reading: a ',' always terminates a value (an empty token is the value 0.0);
+  a newline terminates a value only when characters were accumulated; '\\r' is
+  ignored. This accepts both the reference's trailing-comma files and standard
+  CSVs (where the reference would drop/overflow the last value of each line —
+  intended-semantics deviation: we also accept an EOF-terminated last value).
+- writing: every value is rendered ``%f`` (6 decimals) followed by ',', with a
+  newline after every ``cols`` values — byte-compatible with the reference
+  writer so its models can load our checkpoints and vice versa.
+
+A native C++ fast path (native/bla_io.cc via ctypes) handles large files
+(~100 MB MNIST CSVs); the pure-Python fallback implements the identical
+contract.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import numpy as np
+
+from big_linear_algebra_tpu.data import _native
+
+_TOKEN_RE = re.compile(r"[^,\n]*,|[^,\n]+\n|[^,\n]+$")
+
+
+def _py_read_values(path: str) -> np.ndarray:
+    text = Path(path).read_text().replace("\r", "")
+    values = []
+    for m in _TOKEN_RE.finditer(text):
+        tok = m.group(0).rstrip(",\n")
+        values.append(float(tok) if tok else 0.0)
+    return np.asarray(values, dtype=np.float32)
+
+
+def read_csv_values(path: str) -> np.ndarray:
+    """All CSV values in file order as a flat float32 array.
+    ≈ ``read_csv_contents`` (lib/csv.c:18)."""
+    out = _native.csv_read(str(path))
+    if out is None:
+        out = _py_read_values(str(path))
+    return out
+
+
+def read_csv_matrix(path: str, rows: int, cols: int,
+                    dtype=np.float32) -> np.ndarray:
+    """First rows*cols CSV values as a (rows, cols) matrix.
+    ≈ ``load_matrix_from_csv`` (lib/util.c:57), which widens the float CSV
+    values into the compute dtype."""
+    values = read_csv_values(path)
+    need = rows * cols
+    if values.size < need:
+        raise ValueError(
+            f"{path}: expected at least {need} values, found {values.size}"
+        )
+    return values[:need].reshape(rows, cols).astype(dtype)
+
+
+def write_csv_matrix(path: str, array: np.ndarray) -> None:
+    """Write in the reference format (``%f,`` per value, newline per row).
+    ≈ ``write_csv_contents`` (lib/csv.c:59). Values are written float32, the
+    reference checkpoint precision (model/mnist_nn.c:344-369)."""
+    arr = np.ascontiguousarray(array, dtype=np.float32)
+    if arr.ndim == 1:
+        arr = arr.reshape(1, -1)
+    if arr.ndim != 2:
+        raise ValueError(f"write_csv_matrix expects 1-D/2-D, got {array.shape}")
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    if _native.csv_write(str(path), arr):
+        return
+    with open(path, "w") as f:
+        for row in arr:
+            f.write("".join(f"{v:f}," for v in row) + "\n")
+
+
+def count_num_lines(path: str) -> int:
+    """Count newline characters. ≈ ``count_num_lines`` (lib/csv.c:72)."""
+    n = _native.count_lines(str(path))
+    if n is None:
+        n = Path(path).read_bytes().count(b"\n")
+    return n
