@@ -1,0 +1,275 @@
+"""mnist_nn: the flagship 784→256→128→10 MLP (≈ model/mnist_nn.c).
+
+Reference semantics rebuilt TPU-first:
+- architecture, batch 64, SGD lr 0.02, He-uniform init with zero biases
+  (model/mnist_nn.c:11-12,97-142)
+- loss: softmax + cross-entropy (ε=1e-15), gradient seed scaled by
+  1/input_size — the reference's deliberate ``scale = 1/784``
+  (model/mnist_nn.c:260, SURVEY.md §7.10) — so training dynamics match
+- per-gradient frobenius clip (threshold ∞ by default = inert, exactly as
+  compiled into the reference, model/mnist_nn.c:13,76-81)
+- epoch metrics: avg accuracy + avg CE loss over examples
+  (model/mnist_nn.c:339-341); plus step-time/images-per-sec (new)
+- CSV checkpoints bit-compatible with the reference layout
+  (weights_N.csv (out,in) row-major, biases_N.csv one line), so the
+  shipped trained weights load directly; ``train`` resumes from them
+  (model/mnist_nn.c:165-170,344-376)
+
+TPU-native differences:
+- batch-major activations (B, 784) with (in, out) weights; dense fwd/bwd are
+  explicit-VJP Pallas MXU GEMMs (nn/dense.py)
+- one jit-compiled train step with donated params; the ragged last batch
+  (model/mnist_nn.c:194-195) is zero-padded + masked so one compiled shape
+  serves the whole epoch
+- optional data-parallel execution (``--dp``): batch dim sharded over all
+  local devices, gradient psum inserted by XLA
+- RNG: jax.random with a fixed seed (the reference's srand(42) global rand();
+  trajectories are statistically, not bitwise, comparable — SURVEY.md §8.2)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from pathlib import Path
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from big_linear_algebra_tpu.ckpt.csv_layouts import layout_exists
+from big_linear_algebra_tpu.data.csv import read_csv_matrix, write_csv_matrix
+from big_linear_algebra_tpu.data.mnist import MnistDataset
+from big_linear_algebra_tpu.data import synth
+from big_linear_algebra_tpu.models import common
+from big_linear_algebra_tpu.nn import dense, he_uniform, softmax_cross_entropy
+from big_linear_algebra_tpu.ops import frobenius_norm, relu
+from big_linear_algebra_tpu.parallel import (
+    batch_sharding,
+    default_mesh,
+    replicate,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    input_size: int = 784          # LAYER_INPUT_SIZE, model/mnist_nn.c:26
+    layer_1: int = 256             # LAYER_1_SIZE
+    layer_2: int = 128             # LAYER_2_SIZE
+    layer_3: int = 10              # LAYER_3_SIZE
+    batch_size: int = 64           # SGD_BATCH_SIZE, :11
+    learn_rate: float = 0.02       # SGD_LEARN_RATE_MULTIPLIER, :12
+    grad_clip: float = float("inf")  # SGD_GRADIENT_CLIP, :13
+    seed: int = 42                 # srand(42), :513
+
+    @property
+    def sizes(self):
+        return (self.input_size, self.layer_1, self.layer_2, self.layer_3)
+
+
+CONFIG = Config()
+
+_LAYOUT = {  # reference on-disk layout: (rows, cols) per file
+    "weights_1.csv": (256, 784),
+    "weights_2.csv": (128, 256),
+    "weights_3.csv": (10, 128),
+    "biases_1.csv": (1, 256),
+    "biases_2.csv": (1, 128),
+    "biases_3.csv": (1, 10),
+}
+
+
+def ckpt_dir() -> Path:
+    return common.data_dir() / "mnist_nn"
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+
+def init_params(key, cfg: Config = CONFIG) -> Dict[str, jax.Array]:
+    """He-uniform weights U(±√(6/fan_in)), zero biases
+    (model/mnist_nn.c:97-142)."""
+    ks = jax.random.split(key, 3)
+    s = cfg.sizes
+    params = {}
+    for i in range(3):
+        params[f"w{i+1}"] = he_uniform(ks[i], (s[i], s[i + 1]), fan_in=s[i])
+        params[f"b{i+1}"] = jnp.zeros((s[i + 1],), jnp.float32)
+    return params
+
+
+def save_params_csv(params, base: Path | None = None) -> None:
+    """Write the reference CSV layout. Our (in, out) weights transpose to the
+    reference's (out, in) row-major files; biases are one CSV line."""
+    base = base or ckpt_dir()
+    for i in (1, 2, 3):
+        write_csv_matrix(str(base / f"weights_{i}.csv"),
+                         np.asarray(params[f"w{i}"]).T)
+        write_csv_matrix(str(base / f"biases_{i}.csv"),
+                         np.asarray(params[f"b{i}"]).reshape(1, -1))
+
+
+def load_params_csv(base: Path | None = None,
+                    cfg: Config = CONFIG) -> Dict[str, jax.Array]:
+    base = base or ckpt_dir()
+    s = cfg.sizes
+    params = {}
+    for i in (1, 2, 3):
+        w = read_csv_matrix(str(base / f"weights_{i}.csv"), s[i], s[i - 1])
+        b = read_csv_matrix(str(base / f"biases_{i}.csv"), 1, s[i])
+        params[f"w{i}"] = jnp.asarray(w.T)
+        params[f"b{i}"] = jnp.asarray(b[0])
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward / loss / step
+# ---------------------------------------------------------------------------
+
+
+def forward(params, x):
+    """relu(dense) ×2 → logits (model/mnist_nn.c:221-234). x: (B, 784) scaled
+    to [0,1] by the caller (matrix_scale 1/255, :218)."""
+    a1 = relu(dense(x, params["w1"], params["b1"]))
+    a2 = relu(dense(a1, params["w2"], params["b2"]))
+    return dense(a2, params["w3"], params["b3"])
+
+
+def loss_and_metrics(params, x, onehot, mask, cfg: Config = CONFIG):
+    logits = forward(params, x)
+    # reference gradient scale: 1/LAYER_INPUT_SIZE (model/mnist_nn.c:260)
+    loss = softmax_cross_entropy(logits, onehot, mask) / cfg.input_size
+    pred = jnp.argmax(logits, axis=-1)
+    label = jnp.argmax(onehot, axis=-1)
+    correct = jnp.sum((pred == label) * mask)
+    # unscaled CE sum for the reference's epoch-avg-loss metric
+    ce_sum = loss * cfg.input_size
+    return loss, (correct, ce_sum)
+
+
+def _clip(g, threshold):
+    """Per-gradient frobenius clip (≈ clip_gradient, model/mnist_nn.c:76-81).
+    Inert at the default ∞ threshold, exactly like the reference build."""
+    if threshold == float("inf"):
+        return g
+    norm = frobenius_norm(g)
+    return jnp.where(norm > threshold, g * (threshold / norm), g)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def train_step(params, x, onehot, mask, cfg: Config = CONFIG):
+    (_, (correct, ce_sum)), grads = jax.value_and_grad(
+        loss_and_metrics, has_aux=True
+    )(params, x, onehot, mask, cfg)
+    grads = jax.tree.map(lambda g: _clip(g, cfg.grad_clip), grads)
+    params = jax.tree.map(
+        lambda p, g: p - cfg.learn_rate * g, params, grads
+    )
+    return params, correct, ce_sum
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def eval_batch(params, x, onehot, mask, cfg: Config = CONFIG):
+    _, (correct, ce_sum) = loss_and_metrics(params, x, onehot, mask, cfg)
+    return correct, ce_sum
+
+
+def _make_batch(xb, yb, batch_size, num_classes):
+    """Zero-pad a ragged batch to ``batch_size`` and build onehot + mask."""
+    n = xb.shape[0]
+    x = np.zeros((batch_size, xb.shape[1]), np.float32)
+    x[:n] = xb / 255.0  # matrix_scale(1/255), model/mnist_nn.c:218
+    onehot = np.zeros((batch_size, num_classes), np.float32)
+    onehot[np.arange(n), yb.astype(np.int64)] = 1.0
+    mask = np.zeros((batch_size,), np.float32)
+    mask[:n] = 1.0
+    return x, onehot, mask
+
+
+# ---------------------------------------------------------------------------
+# CLI verbs
+# ---------------------------------------------------------------------------
+
+
+def init(flags=None, cfg: Config = CONFIG) -> None:
+    params = init_params(jax.random.key(cfg.seed), cfg)
+    save_params_csv(params)
+    print(f"initialized parameters in {ckpt_dir()}")
+
+
+def _placements(flags):
+    """(batch_sharding, param_sharding) when --dp and >1 device, else Nones."""
+    flags = flags or {}
+    if "dp" in flags and len(jax.devices()) > 1:
+        mesh = default_mesh()
+        return batch_sharding(mesh), replicate(mesh)
+    return None, None
+
+
+def train(num_epochs: int, *args, flags=None, cfg: Config = CONFIG) -> None:
+    train_csv, _ = synth.ensure_mnist(str(common.data_dir()))
+    if layout_exists(str(ckpt_dir()), _LAYOUT):
+        params = load_params_csv()   # training IS resume (mnist_nn.c:165-170)
+    else:
+        print("no checkpoint found; initializing")
+        params = init_params(jax.random.key(cfg.seed), cfg)
+    data = MnistDataset.from_csv(train_csv)
+    rng = np.random.default_rng(cfg.seed)
+    logger = common.MetricsLogger((flags or {}).get("jsonl") or None)
+    x_sharding, p_sharding = _placements(flags)
+    if p_sharding is not None:
+        params = jax.device_put(params, p_sharding)
+
+    for epoch in range(num_epochs):
+        t0 = time.perf_counter()
+        correct_sum, loss_sum = 0.0, 0.0
+        for xb, yb in data.epoch_batches(rng, cfg.batch_size):
+            x, onehot, mask = _make_batch(xb, yb, cfg.batch_size, cfg.layer_3)
+            if x_sharding is not None:
+                x, onehot, mask = (
+                    jax.device_put(x, x_sharding),
+                    jax.device_put(onehot, x_sharding),
+                    jax.device_put(mask, x_sharding),
+                )
+            params, correct, ce_sum = train_step(params, x, onehot, mask, cfg)
+            correct_sum += float(correct)
+            loss_sum += float(ce_sum)
+        dt = time.perf_counter() - t0
+        n = data.num_examples
+        logger.log(
+            epoch=epoch,
+            avg_accuracy=correct_sum / n,
+            avg_loss=loss_sum / n,
+            epoch_seconds=dt,
+            images_per_sec=n / dt,
+        )
+    save_params_csv(params)
+    logger.close()
+
+
+def run(num_predictions: int = -1, flags=None, cfg: Config = CONFIG) -> None:
+    """Eval on the test set as one batch (model/mnist_nn.c:401-490);
+    ``-1`` = whole set."""
+    _, test_csv = synth.ensure_mnist(str(common.data_dir()))
+    params = load_params_csv()
+    data = MnistDataset.from_csv(test_csv)
+    n = data.num_examples if (num_predictions == -1
+                              or num_predictions > data.num_examples) \
+        else num_predictions
+    print(f"Running predictions for {n} digits...", end="", flush=True)
+    x, onehot, mask = _make_batch(data.x[:n], data.y[:n], n, cfg.layer_3)
+    correct, _ = eval_batch(params, x, onehot, mask, cfg)
+    acc = float(correct) / n
+    print(f"done! Got {int(correct)} correct ({acc:.3f}).")
+
+
+def main(argv=None) -> int:
+    return common.run_cli("mnist_nn", init, train, run, argv=argv)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,117 @@
+"""Losses with the reference's hand-derived gradients.
+
+- ``softmax_cross_entropy``: fused softmax + CE. The reference never
+  differentiates its softmax in mnist_nn — it backprops the fused form with
+  the classic seed ``dz = softmax(z) − onehot`` (model/mnist_nn.c:263-268).
+  The CE value uses the reference's ``log(p + 1e-15)`` epsilon
+  (model/mnist_nn.c:15,83-90).
+- ``mse_loss``: seed ``2·(pred − target)`` (lib/layer.c:86-88 and the U-Net's
+  ``dL/dY = 2(pred − noise)``, model/cifar_unet.c:1353-1364). Sum-of-squares
+  (not mean), matching both reference call sites.
+- ``hinge_loss``: one-vs-rest hinge with subgradient ``−y·x`` on margin
+  violations (model/mnist_hinge.c:137-149, intended sign semantics —
+  SURVEY.md §7.9).
+
+All losses support an optional per-example ``mask`` so jit-compiled steps can
+handle the reference's ragged last batch (model/mnist_nn.c:194-195) with a
+single compiled shape.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+LOSS_EPSILON = 1e-15  # model/mnist_nn.c:15
+
+
+def _masked(x: jax.Array, mask: Optional[jax.Array], axis=None):
+    if mask is not None:
+        x = x * mask
+    return jnp.sum(x, axis=axis)
+
+
+@jax.custom_vjp
+def softmax_cross_entropy(logits: jax.Array, onehot: jax.Array,
+                          mask: Optional[jax.Array] = None) -> jax.Array:
+    """Σ_examples CE(softmax(logits), onehot). logits: (B, C), row-major
+    batch; returns the summed loss (callers divide, as the reference does
+    per-epoch at model/mnist_nn.c:339-340)."""
+    p = jax.nn.softmax(logits, axis=-1)
+    ce = -jnp.sum(onehot * jnp.log(p + LOSS_EPSILON), axis=-1)
+    return _masked(ce, mask)
+
+
+def _sce_fwd(logits, onehot, mask):
+    p = jax.nn.softmax(logits, axis=-1)
+    ce = -jnp.sum(onehot * jnp.log(p + LOSS_EPSILON), axis=-1)
+    return _masked(ce, mask), (p, onehot, mask)
+
+
+def _sce_bwd(res, g):
+    p, onehot, mask = res
+    dz = (p - onehot) * g
+    if mask is not None:
+        dz = dz * mask[:, None]
+    return dz.astype(p.dtype), None, None
+
+
+softmax_cross_entropy.defvjp(_sce_fwd, _sce_bwd)
+
+
+@jax.custom_vjp
+def mse_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """Sum of squared errors (≈ compute_mse_loss, model/cifar_unet.c:1858,
+    which averages; the gradient seed 2·(pred−target) at :1353-1364 implies
+    the sum — we return the sum and let callers normalize, recording the
+    deviation)."""
+    d = pred - target
+    return jnp.sum(d * d)
+
+
+def _mse_fwd(pred, target):
+    d = pred - target
+    return jnp.sum(d * d), d
+
+
+def _mse_bwd(d, g):
+    seed = (2.0 * d * g).astype(d.dtype)
+    return seed, -seed
+
+
+mse_loss.defvjp(_mse_fwd, _mse_bwd)
+
+
+def cross_entropy_loss(probs: jax.Array, onehot: jax.Array) -> jax.Array:
+    """CE given probabilities (≈ cross_entropy_loss, model/mnist_nn.c:83):
+    −Σ y·log(p + ε). Metric-only helper (no custom VJP needed)."""
+    return -jnp.sum(onehot * jnp.log(probs + LOSS_EPSILON))
+
+
+@jax.custom_vjp
+def hinge_loss(w: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    """One-vs-rest linear hinge: Σ_i max(0, 1 − y_i·(x_i @ w)).
+
+    w: (features,), x: (B, features), y: (B,) in {−1, +1}.
+    Subgradient w.r.t. w is ``−Σ_{margin<1} y_i·x_i``
+    (model/mnist_hinge.c:137-149, intended descent semantics).
+    """
+    margins = y * (x @ w)
+    return jnp.sum(jnp.maximum(0.0, 1.0 - margins))
+
+
+def _hinge_fwd(w, x, y):
+    margins = y * (x @ w)
+    return jnp.sum(jnp.maximum(0.0, 1.0 - margins)), (x, y, margins)
+
+
+def _hinge_bwd(res, g):
+    x, y, margins = res
+    viol = (margins < 1.0).astype(x.dtype)
+    dw = -(viol * y) @ x * g
+    return dw.astype(x.dtype), None, None
+
+
+hinge_loss.defvjp(_hinge_fwd, _hinge_bwd)

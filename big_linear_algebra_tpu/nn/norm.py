@@ -1,0 +1,105 @@
+"""Group normalization fwd/bwd with explicit VJP (≈ lib/norm.c).
+
+Reference semantics (lib/norm.c:5-49): per channel-group mean/second-moment
+over (group_channels × H × W), normalize, keep the statistics for backward;
+backward centers the gradient and removes its projection onto the normalized
+value (lib/norm.c:52-91). No learned scale/offset (γ/β) — the reference has
+none.
+
+Intended-semantics deviations (SURVEY.md §7.5, policy §7):
+- the reference's ``epsilon`` is ``const int = 1e-8`` → 0, and its "stdev" is
+  the *variance*, never sqrt'd, so it normalizes by σ² instead of σ. The
+  forward/backward pair is self-consistent, but it is not group norm.
+- default mode here is textbook: divide by ``sqrt(σ² + 1e-8)``; the matching
+  standard backward is ``(g − mean(g) − x̂·mean(g·x̂)) / sqrt(σ²+ε)``.
+- ``reference_compat=True`` reproduces the reference's variance-normalizing
+  math exactly (ε=0) — used by the oracle parity tests.
+
+Ragged groups (channels not divisible by group_size) follow the reference's
+``num_in_this_group`` clamp (lib/norm.c:8-11).
+
+This is a bandwidth-bound VPU op; XLA fuses the normalized three-pass into
+two HBM sweeps, and keeping it HLO lets it fuse with the adjacent relu/conv
+in the U-Net resnet blocks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _group_stats(x, channels, group_size):
+    """Per-group mean/variance. x: (..., C, H, W) → stats (..., C, 1, 1)
+    broadcast per channel, plus raw per-group arrays."""
+    *lead, c, h, w = x.shape
+    assert c == channels
+    n_groups = -(-channels // group_size)
+    pad_c = n_groups * group_size - channels
+    xp = jnp.pad(x, [(0, 0)] * len(lead) + [(0, pad_c), (0, 0), (0, 0)])
+    xg = xp.reshape(*lead, n_groups, group_size, h, w)
+    if pad_c:
+        mask = jnp.concatenate(
+            [jnp.ones((channels,), x.dtype), jnp.zeros((pad_c,), x.dtype)]
+        ).reshape(n_groups, group_size, 1, 1)
+        counts = mask.sum(axis=1, keepdims=True) * h * w
+        mean = (xg * mask).sum(axis=(-3, -2, -1), keepdims=True) / counts
+        var = (((xg - mean) ** 2) * mask).sum(
+            axis=(-3, -2, -1), keepdims=True) / counts
+    else:
+        mean = xg.mean(axis=(-3, -2, -1), keepdims=True)
+        var = ((xg - mean) ** 2).mean(axis=(-3, -2, -1), keepdims=True)
+    # broadcast back to per-channel (..., C, 1, 1)
+    bmean = jnp.broadcast_to(
+        mean, (*lead, n_groups, group_size, 1, 1)
+    ).reshape(*lead, n_groups * group_size, 1, 1)[..., :channels, :, :]
+    bvar = jnp.broadcast_to(
+        var, (*lead, n_groups, group_size, 1, 1)
+    ).reshape(*lead, n_groups * group_size, 1, 1)[..., :channels, :, :]
+    return bmean, bvar
+
+
+def _denom(var, eps, reference_compat):
+    if reference_compat:
+        return var  # the reference divides by variance with ε=0 (§7.5)
+    return jnp.sqrt(var + eps)
+
+
+def _gn_fwd_impl(x, group_size, eps, reference_compat):
+    mean, var = _group_stats(x, x.shape[-3], group_size)
+    denom = _denom(var, eps, reference_compat)
+    return (x - mean) / denom, mean, var
+
+
+def _group_mean(t, group_size):
+    """Mean over each channel group's (gs, H, W) block, broadcast back."""
+    mean, _ = _group_stats(t, t.shape[-3], group_size)
+    return mean
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def group_norm(x: jax.Array, group_size: int, eps: float = 1e-8,
+               reference_compat: bool = False) -> jax.Array:
+    """x: (..., C, H, W) → same shape. ≈ ``group_norm`` (lib/norm.c:5)."""
+    return _gn_fwd_impl(x, group_size, eps, reference_compat)[0]
+
+
+def _group_norm_fwd(x, group_size, eps, reference_compat):
+    out, mean, var = _gn_fwd_impl(x, group_size, eps, reference_compat)
+    return out, (x, mean, var)
+
+
+def _group_norm_bwd(group_size, eps, reference_compat, res, g):
+    x, mean, var = res
+    denom = _denom(var, eps, reference_compat)
+    xhat = (x - mean) / denom
+    g_mean = _group_mean(g, group_size)
+    gx_mean = _group_mean(g * xhat, group_size)
+    dx = (g - g_mean - xhat * gx_mean) / denom
+    return (dx.astype(x.dtype),)
+
+
+group_norm.defvjp(_group_norm_fwd, _group_norm_bwd)

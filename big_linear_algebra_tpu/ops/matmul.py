@@ -183,6 +183,8 @@ def _xla_mm(a, b, variant: Variant, out_dtype):
 
 
 def _dispatch(a, b, variant: Variant, block, out_dtype):
+    if block is None:
+        block = _DEFAULT_BLOCK
     spec = _VARIANTS[variant]
     if a.ndim != 2 or b.ndim != 2:
         raise ValueError(

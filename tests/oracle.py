@@ -217,22 +217,39 @@ def c_softmax_row_wise(a: np.ndarray) -> np.ndarray:
     return buf
 
 
-def c_group_norm(x: np.ndarray, channels: int, group_size: int):
-    """Reference group_norm (lib/norm.c:5). x: (channels, spatial) row-major.
+def _channel_array(arr: np.ndarray):
+    """(C, H, W) float64 → (ctypes array of CMatrix, backing buffer).
+    The reference passes per-channel maps as arrays of Matrix structs
+    (lib/norm.c:5, lib/conv.c:8)."""
+    arr = np.ascontiguousarray(arr, dtype=np.float64)
+    c, h, w = arr.shape
+    mats = (CMatrix * c)()
+    for i in range(c):
+        mats[i].rows = h
+        mats[i].cols = w
+        mats[i].data = ctypes.cast(
+            arr.ctypes.data + i * h * w * 8, ctypes.POINTER(ctypes.c_double)
+        )
+    return mats, arr
+
+
+def c_group_norm(x: np.ndarray, group_size: int):
+    """Reference group_norm (lib/norm.c:5). x: (C, H, W).
 
     Returns (out, means, stdevs) where — per the reference quirk (SURVEY.md
     §7.5) — 'stdevs' is actually the per-group *variance* and epsilon is 0.
     """
     lib = load_oracle()
-    ma, _ = as_cmatrix(x)
+    channels = x.shape[0]
+    mats_in, _ = _channel_array(x)
     out = np.zeros_like(x, dtype=np.float64)
-    mo, out_buf = as_cmatrix(out)
-    n_groups = channels // group_size
+    mats_out, out_buf = _channel_array(out)
+    n_groups = -(-channels // group_size)
     means = np.zeros(n_groups, dtype=np.float64)
     stdevs = np.zeros(n_groups, dtype=np.float64)
     lib.group_norm(
-        ctypes.byref(ma),
-        ctypes.byref(mo),
+        mats_in,
+        mats_out,
         stdevs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         means.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         ctypes.c_int(channels),
@@ -241,26 +258,100 @@ def c_group_norm(x: np.ndarray, channels: int, group_size: int):
     return out_buf, means, stdevs
 
 
-def c_group_norm_ddx(
-    g: np.ndarray,
-    x: np.ndarray,
-    means: np.ndarray,
-    stdevs: np.ndarray,
-    channels: int,
-    group_size: int,
-) -> np.ndarray:
+def c_group_norm_ddx(g: np.ndarray, x: np.ndarray, means: np.ndarray,
+                     stdevs: np.ndarray, group_size: int) -> np.ndarray:
+    """Reference group_norm backward (lib/norm.c:52). g, x: (C, H, W)."""
     lib = load_oracle()
-    mg, _ = as_cmatrix(g)
-    mx, _ = as_cmatrix(x)
+    channels = x.shape[0]
+    mats_g, _ = _channel_array(g)
+    mats_x, _ = _channel_array(x)
     dest = np.zeros_like(x, dtype=np.float64)
-    md, dest_buf = as_cmatrix(dest)
+    mats_d, dest_buf = _channel_array(dest)
     lib.group_norm_ddx(
-        ctypes.byref(mg),
-        ctypes.byref(md),
-        ctypes.byref(mx),
+        mats_g,
+        mats_d,
+        mats_x,
         means.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         stdevs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         ctypes.c_int(channels),
         ctypes.c_int(group_size),
     )
     return dest_buf
+
+
+# ---------------------------------------------------------------------------
+# Convolution oracle: the reference's conv/conv_ddx as committed are broken by
+# the swapped channel-reshape helpers (SURVEY.md §7.1 — the GEMM product is
+# clobbered before it reaches the output), so parity targets the *correct*
+# C pieces composed per the evident intent: _im2col → kernel reshape → GEMM,
+# and im2colᵀ@dQ / _col2im for the backward.
+# ---------------------------------------------------------------------------
+
+
+def c_im2col(x: np.ndarray, kernel_size: int, stride: int) -> np.ndarray:
+    """lib/conv.c:8 _im2col. x: (C, H, W) → (oh·ow, k·k·C)."""
+    import math
+
+    lib = load_oracle()
+    c, h, w = x.shape
+    mats_in, _ = _channel_array(x)
+    oh, ow = math.ceil(h / stride), math.ceil(w / stride)
+    out = np.zeros((oh * ow, kernel_size * kernel_size * c), np.float64)
+    m_out, out_buf = as_cmatrix(out)
+    lib._im2col(mats_in, ctypes.byref(m_out), ctypes.c_int(kernel_size),
+                ctypes.c_int(c), ctypes.c_int(stride))
+    return out_buf
+
+
+def c_col2im(cols: np.ndarray, out_shape, kernel_size: int,
+             stride: int) -> np.ndarray:
+    """lib/conv.c:80 _col2im (scatter-add). cols: (oh·ow, k·k·C) →
+    (C, H, W)."""
+    lib = load_oracle()
+    m_in, _ = as_cmatrix(cols)
+    out = np.zeros(out_shape, np.float64)
+    mats_out, out_buf = _channel_array(out)
+    lib._col2im(ctypes.byref(m_in), mats_out, ctypes.c_int(kernel_size),
+                ctypes.c_int(out_shape[0]), ctypes.c_int(stride))
+    return out_buf
+
+
+def c_conv_forward(x: np.ndarray, kernels: np.ndarray,
+                   stride: int) -> np.ndarray:
+    """Intended reference conv: im2col → (HWC, F) kernel matrix → GEMM →
+    (F, oh, ow) (lib/conv.c:205-212 minus the §7.1 reshape bug)."""
+    import math
+
+    f, c, kh, kw = kernels.shape
+    cols = c_im2col(x, kh, stride)
+    kmat = kernels.reshape(f, c * kh * kw).T  # (k·k·C, F), C-major rows
+    prod = c_matmul(cols, np.ascontiguousarray(kmat))
+    oh, ow = math.ceil(x.shape[1] / stride), math.ceil(x.shape[2] / stride)
+    return prod.reshape(oh, ow, f).transpose(2, 0, 1)
+
+
+def c_conv_backward(x: np.ndarray, kernels: np.ndarray, g: np.ndarray,
+                    stride: int):
+    """Intended reference conv_ddx (lib/conv.c:214-227):
+    del_K = im2colᵀ @ del_Q, del_X = col2im(del_Q @ Kᵀ).
+
+    NOTE: dx is only produced for stride == 1. The reference's ``_col2im``
+    iterates over the full image grid (height × width, lib/conv.c:106-108)
+    instead of the output grid (oh × ow), so for stride > 1 it reads its
+    input matrix out of bounds and scatters past the padded buffer (heap
+    corruption — empirically verified; a latent defect beyond SURVEY.md §7,
+    hidden upstream because the §7.1 reshape bug already breaks ``conv``).
+    The strided dx path is instead validated against autodiff in
+    tests/test_conv.py.
+    """
+    f, c, kh, kw = kernels.shape
+    cols = c_im2col(x, kh, stride)
+    dq = g.transpose(1, 2, 0).reshape(-1, f)      # (oh·ow, F), intended
+    dk_mat = c_matmul(np.ascontiguousarray(cols.T), dq)   # (k·k·C, F)
+    dk = dk_mat.T.reshape(f, c, kh, kw)
+    dx = None
+    if stride == 1:
+        kmat = kernels.reshape(f, c * kh * kw)    # (F, k·k·C)
+        dcols = c_matmul(dq, np.ascontiguousarray(kmat))  # (oh·ow, k·k·C)
+        dx = c_col2im(dcols, x.shape, kh, stride)
+    return dk, dx

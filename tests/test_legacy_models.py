@@ -1,0 +1,154 @@
+"""Tests for the Layer-graph module and the three legacy model programs."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from big_linear_algebra_tpu.nn import layer_graph
+
+
+@pytest.fixture
+def env_data_dir(tmp_path):
+    os.environ["BLA_DATA_DIR"] = str(tmp_path)
+    yield tmp_path
+    del os.environ["BLA_DATA_DIR"]
+
+
+# ---------------------------------------------------------------------------
+# layer_graph core
+# ---------------------------------------------------------------------------
+
+
+def _random_params(rng, sizes):
+    return [
+        (jnp.asarray(rng.standard_normal((o, i)) * 0.5),
+         jnp.asarray(rng.standard_normal(o) * 0.1))
+        for i, o in zip(sizes[:-1], sizes[1:])
+    ]
+
+
+def test_sgd_step_equals_gradient_descent_for_relu(rng):
+    """For exact-derivative activations, the reference recursion (lib/layer.c)
+    must equal plain gradient descent on the squared-error cost."""
+    sizes = (4, 6, 3)
+    acts = ("relu", "relu")
+    params = _random_params(rng, sizes)
+    x = jnp.asarray(rng.standard_normal(4))
+    y = jnp.asarray(rng.standard_normal(3))
+    lr = 0.05
+
+    stepped = layer_graph.sgd_step(params, acts, x, y, lr)
+    grads = jax.grad(lambda p: layer_graph.cost(p, acts, x, y))(params)
+    for (w_new, b_new), (w, b), (gw, gb) in zip(stepped, params, grads):
+        np.testing.assert_allclose(np.asarray(w_new), np.asarray(w - lr * gw),
+                                   rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(b_new), np.asarray(b - lr * gb),
+                                   rtol=1e-6, atol=1e-8)
+
+
+def test_softmax_legacy_diagonal_jacobian(rng):
+    """softmax_legacy backward uses p(1−p) per element (the reference's
+    deliberate independence approximation, model/mnist.c:37-46)."""
+    params = _random_params(rng, (5, 4))
+    acts = ("softmax_legacy",)
+    x = jnp.asarray(rng.standard_normal(5))
+    y = jnp.asarray(np.eye(4)[1])
+    lr = 0.1
+    (w, b) = params[0]
+    raw = np.asarray(w) @ np.asarray(x) + np.asarray(b)
+    e = np.exp(raw - raw.max())
+    p = e / e.sum()
+    delta = (p * (1 - p)) * (2 * (p - np.asarray(y)))
+    want_w = np.asarray(w) - lr * np.outer(delta, np.asarray(x))
+    (w_new, b_new), = layer_graph.sgd_step(params, acts, x, y, lr)
+    np.testing.assert_allclose(np.asarray(w_new), want_w, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(b_new),
+                               np.asarray(b) - lr * delta, rtol=1e-5,
+                               atol=1e-7)
+
+
+def test_predict_batch_matches_single(rng):
+    params = _random_params(rng, (3, 5, 2))
+    acts = ("relu", "linear")
+    xb = jnp.asarray(rng.standard_normal((7, 3)))
+    batched = layer_graph.predict_batch(params, acts, xb)
+    for i in range(7):
+        single = layer_graph.predict(params, acts, xb[i])
+        np.testing.assert_allclose(np.asarray(batched[i]), np.asarray(single),
+                                   rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# my_first_model
+# ---------------------------------------------------------------------------
+
+
+def test_my_first_model_end_to_end(env_data_dir, capsys):
+    from big_linear_algebra_tpu.data.csv import write_csv_matrix
+    from big_linear_algebra_tpu.models import my_first_model as mfm
+
+    assert mfm.main(["init"]) == 0
+    assert mfm.main(["train", "800", "0.1"]) == 0
+    out = capsys.readouterr().out
+    assert "Finished training" in out
+    # the last rolling-cost window should be far below the first
+    costs = [float(l.split("Avg:")[1]) for l in out.splitlines() if "Avg:" in l]
+    assert costs[-1] < costs[0]
+
+    # same-sign input → "Same sign!"
+    write_csv_matrix(str(env_data_dir / "my_first_model/input_nodes.csv"),
+                     np.array([[0.7, 0.8]], np.float32))
+    assert mfm.main(["run"]) == 0
+    assert "Same sign!" in capsys.readouterr().out
+
+    write_csv_matrix(str(env_data_dir / "my_first_model/input_nodes.csv"),
+                     np.array([[-0.7, 0.8]], np.float32))
+    assert mfm.main(["run"]) == 0
+    assert "Different signs!" in capsys.readouterr().out
+
+
+# ---------------------------------------------------------------------------
+# mnist (legacy)
+# ---------------------------------------------------------------------------
+
+
+def test_mnist_legacy_cli_smoke(env_data_dir, capsys):
+    from big_linear_algebra_tpu.data import synth
+    from big_linear_algebra_tpu.models import mnist as mnist_legacy
+
+    synth.ensure_mnist(str(env_data_dir), train_n=64, test_n=32)
+    assert mnist_legacy.main(["init"]) == 0
+    assert mnist_legacy.main(["train", "40", "0.05", "0"]) == 0
+    out = capsys.readouterr().out
+    assert "Finished training" in out
+    assert mnist_legacy.main(["run", "10", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "correct out of" in out
+    assert "Predictions:" in out
+
+
+# ---------------------------------------------------------------------------
+# mnist_hinge
+# ---------------------------------------------------------------------------
+
+
+def test_mnist_hinge_trains_and_evaluates(env_data_dir, capsys):
+    from big_linear_algebra_tpu.data import synth
+    from big_linear_algebra_tpu.models import mnist_hinge
+
+    synth.ensure_mnist(str(env_data_dir), train_n=512, test_n=128)
+    assert mnist_hinge.main(["init"]) == 0
+    assert mnist_hinge.main(["train", "100", "0.0005"]) == 0
+    out = capsys.readouterr().out
+    assert "Finished training" in out
+    assert "Gradient norms" in out
+    # eval without per-digit logging
+    assert mnist_hinge.main(["run", "-1", "0"]) == 0
+    out = capsys.readouterr().out
+    acc = float(out.split("accuracy")[1])
+    # linear one-vs-rest on the 7-segment synthetic data should beat chance
+    # by a wide margin
+    assert acc > 0.5, out
