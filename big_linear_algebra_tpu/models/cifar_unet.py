@@ -1,0 +1,593 @@
+"""cifar_unet: DDPM noise-prediction U-Net on CIFAR-10 (≈ model/cifar_unet.c).
+
+Architecture (model/cifar_unet.c:26-37,1099-1165, citing Ho et al. 2020):
+4 resolutions (32/16/8/4) with embed dims 128/256/256/256; per resolution two
+resnet blocks (GN→ReLU→conv3×3 → +time-dense → GN→ReLU→dropout(0.1)→conv3×3,
+plus 1×1-conv residual when channels change); self-attention (key_dim 16)
+after each resnet at resolution 2 on the down path, around the mid resnets,
+and at resolution 2 on the up path; strided-conv downsample; nearest-
+neighbour ×2 upsample + channel-matching conv (applied only when dims differ,
+:1130-1133); skip concatenation from each down level (:1088-1097); output
+GN→ReLU→conv3×3 → 3 channels.
+
+The reference's ``train`` is a stub of intent (SURVEY.md §7.11): one example,
+loss vs pure noise with no noise schedule, Adam moments allocated but unused,
+uninitialized time embedding, empty ``run``. This module finishes the intent:
+- full DDPM: linear β schedule, x_t = √ᾱ·x₀ + √(1−ᾱ)·ε, predict ε, MSE
+- sinusoidal timestep embedding (dim 512) → ReLU (the reference's
+  ``time_embedding`` comment says "Passed through ReLU already", :168)
+- hand-rolled Adam (nn/optim.py — the allocated ``gm``/``gsm`` moments)
+- epoch loop over the 5 binary batches, batched (B, 3, 32, 32) on the MXU
+- ``run``: DDPM ancestral sampling inside one jit (lax.fori_loop over
+  timesteps) + BMP dumps
+- CSV checkpoint tree bit-compatible with the reference layout
+  (save_parameters, :1545-1660; with correct per-block channel counts — the
+  reference's save passes in_channels=3 for down_1/resnet_2, truncating the
+  file) plus orbax pytree checkpoints for train state resume
+
+Further intended-semantics deviations (documented per SURVEY.md §7 policy):
+fixed up-path wiring (§7.2 second up_3 attention reads the right buffer),
+gradients via the library's explicit-VJP ops instead of the §7.3/§7.4
+clobbering backward, conv-kernel He init with fan_in = k²·C_in (the
+reference uses k² alone, :1452-1460), textbook group norm (§7.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from pathlib import Path
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from big_linear_algebra_tpu.ckpt import pytree as ckpt_pytree
+from big_linear_algebra_tpu.data import bmp as bmp_io
+from big_linear_algebra_tpu.data import synth
+from big_linear_algebra_tpu.data.cifar10 import Cifar10Batches, chw_to_pixels
+from big_linear_algebra_tpu.data.csv import read_csv_matrix, write_csv_matrix
+from big_linear_algebra_tpu.models import common
+from big_linear_algebra_tpu.nn import (
+    conv2d,
+    dropout,
+    group_norm,
+    he_uniform,
+    mse_loss,
+    self_attention_block,
+    xavier_uniform,
+)
+from big_linear_algebra_tpu.nn.optim import AdamState, adam_init, adam_update
+from big_linear_algebra_tpu.ops import relu
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    image_size: int = 32                      # IMAGE_HEIGHT/WIDTH, :26-27
+    in_channels: int = 3
+    embed_dims: tuple = (128, 256, 256, 256)  # RESOLUTION_N_EMBED_DIM, :29-32
+    time_embed_dim: int = 512                 # TIME_EMBED_DIM, :33
+    kernel_size: int = 3                      # KERNEL_SIZE, :34
+    group_size: int = 32                      # GROUP_SIZE, :35
+    key_dim: int = 16                         # SELF_ATTENTION_KEY_DIM, :36
+    dropout_rate: float = 0.1                 # DROPOUT_RATE, :37
+    resize_stride: int = 2                    # RESIZE_STRIDE, :28
+    # DDPM schedule (Ho et al. 2020 defaults — intent of the :16-24 citation)
+    timesteps: int = 1000
+    beta_start: float = 1e-4
+    beta_end: float = 0.02
+    batch_size: int = 16
+    learn_rate: float = 2e-4
+    seed: int = 42
+
+
+CONFIG = Config()
+# Tiny config for CPU tests / fast smoke runs
+TINY = Config(embed_dims=(8, 12, 12, 12), time_embed_dim=16, group_size=4,
+              key_dim=4, timesteps=8, batch_size=2, image_size=32)
+
+
+def ckpt_dir() -> Path:
+    return common.data_dir() / "cifar_unet"
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+
+def _init_resnet(key, in_ch, out_ch, cfg: Config):
+    ks = jax.random.split(key, 4)
+    k = cfg.kernel_size
+    return {
+        "conv_1": he_uniform(ks[0], (out_ch, in_ch, k, k),
+                             fan_in=k * k * in_ch),
+        "conv_2": he_uniform(ks[1], (out_ch, out_ch, k, k),
+                             fan_in=k * k * out_ch),
+        "conv_3": he_uniform(ks[2], (out_ch, in_ch, 1, 1), fan_in=in_ch),
+        "time_w": he_uniform(ks[3], (cfg.time_embed_dim, out_ch),
+                             fan_in=cfg.time_embed_dim),
+        "time_b": jnp.zeros((out_ch,), jnp.float32),
+    }
+
+
+def _init_attn(key, ch, cfg: Config):
+    ks = jax.random.split(key, 4)
+    kd = cfg.key_dim
+    return {
+        "q": xavier_uniform(ks[0], (ch, kd), fan_in=ch, fan_out=kd),
+        "k": xavier_uniform(ks[1], (ch, kd), fan_in=ch, fan_out=kd),
+        "v": he_uniform(ks[2], (ch, kd), fan_in=ch),
+        "w": he_uniform(ks[3], (kd, ch), fan_in=kd),
+        "b": jnp.zeros((ch,), jnp.float32),
+    }
+
+
+def init_params(key, cfg: Config = CONFIG) -> Dict[str, Any]:
+    d1, d2, d3, d4 = cfg.embed_dims
+    k = cfg.kernel_size
+    keys = iter(jax.random.split(key, 40))
+    nk = lambda: next(keys)
+    p: Dict[str, Any] = {
+        "down_1": {
+            "resnet_1": _init_resnet(nk(), cfg.in_channels, d1, cfg),
+            "resnet_2": _init_resnet(nk(), d1, d1, cfg),
+            "conv": he_uniform(nk(), (d2, d1, k, k), fan_in=k * k * d1),
+        },
+        "down_2": {
+            "resnet_1": _init_resnet(nk(), d2, d2, cfg),
+            "attn_1": _init_attn(nk(), d2, cfg),
+            "resnet_2": _init_resnet(nk(), d2, d2, cfg),
+            "attn_2": _init_attn(nk(), d2, cfg),
+            "conv": he_uniform(nk(), (d3, d2, k, k), fan_in=k * k * d2),
+        },
+        "down_3": {
+            "resnet_1": _init_resnet(nk(), d3, d3, cfg),
+            "resnet_2": _init_resnet(nk(), d3, d3, cfg),
+            "conv": he_uniform(nk(), (d4, d3, k, k), fan_in=k * k * d3),
+        },
+        "down_4": {
+            "resnet_1": _init_resnet(nk(), d4, d4, cfg),
+            "resnet_2": _init_resnet(nk(), d4, d4, cfg),
+        },
+        "mid": {
+            "resnet_1": _init_resnet(nk(), d4, d4, cfg),
+            "attn": _init_attn(nk(), d4, cfg),
+            "resnet_2": _init_resnet(nk(), d4, d4, cfg),
+        },
+        "up_1": {
+            "resnet_1": _init_resnet(nk(), 2 * d4, d4, cfg),
+            "resnet_2": _init_resnet(nk(), d4, d4, cfg),
+            "conv": he_uniform(nk(), (d3, d4, k, k), fan_in=k * k * d4),
+        },
+        "up_2": {
+            "resnet_1": _init_resnet(nk(), 2 * d3, d3, cfg),
+            "resnet_2": _init_resnet(nk(), d3, d3, cfg),
+            "conv": he_uniform(nk(), (d2, d3, k, k), fan_in=k * k * d3),
+        },
+        "up_3": {
+            "resnet_1": _init_resnet(nk(), 2 * d2, d2, cfg),
+            "attn_1": _init_attn(nk(), d2, cfg),
+            "resnet_2": _init_resnet(nk(), d2, d2, cfg),
+            "attn_2": _init_attn(nk(), d2, cfg),
+            "conv": he_uniform(nk(), (d1, d2, k, k), fan_in=k * k * d2),
+        },
+        "up_4": {
+            "resnet_1": _init_resnet(nk(), 2 * d1, d1, cfg),
+            "resnet_2": _init_resnet(nk(), d1, d1, cfg),
+        },
+        "output_conv": he_uniform(nk(), (cfg.in_channels, d1, k, k),
+                                  fan_in=k * k * d1),
+    }
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Reference CSV checkpoint tree
+# ---------------------------------------------------------------------------
+
+
+def _kernels_to_rows(k: np.ndarray) -> np.ndarray:
+    """(F, C, kh, kw) → (F·C, kh·kw) — the reference _save_conv_kernels
+    layout (row i·C+j = kernel [f=i][c=j], model/cifar_unet.c:1520-1538)."""
+    f, c, kh, kw = k.shape
+    return np.asarray(k).reshape(f * c, kh * kw)
+
+
+def _rows_to_kernels(rows: np.ndarray, f, c, kh, kw) -> np.ndarray:
+    return rows.reshape(f, c, kh, kw)
+
+
+def save_params_csv(params, cfg: Config = CONFIG, base: Path | None = None):
+    base = base or ckpt_dir()
+
+    def save_resnet(p, prefix):
+        write_csv_matrix(str(base / prefix / "conv_1.csv"),
+                         _kernels_to_rows(np.asarray(p["conv_1"])))
+        write_csv_matrix(str(base / prefix / "conv_2.csv"),
+                         _kernels_to_rows(np.asarray(p["conv_2"])))
+        write_csv_matrix(str(base / prefix / "conv_3.csv"),
+                         _kernels_to_rows(np.asarray(p["conv_3"])))
+        write_csv_matrix(str(base / prefix / "time_weight.csv"),
+                         np.asarray(p["time_w"]))
+        write_csv_matrix(str(base / prefix / "time_bias.csv"),
+                         np.asarray(p["time_b"]).reshape(1, -1))
+
+    def save_attn(p, prefix):
+        names = {"q": "query.csv", "k": "key.csv", "v": "value.csv",
+                 "w": "weight.csv"}
+        for key_, fname in names.items():
+            write_csv_matrix(str(base / prefix / fname), np.asarray(p[key_]))
+        write_csv_matrix(str(base / prefix / "bias.csv"),
+                         np.asarray(p["b"]).reshape(1, -1))
+
+    for lvl in (1, 2, 3, 4):
+        grp = params[f"down_{lvl}"]
+        save_resnet(grp["resnet_1"], f"down_{lvl}/resnet_1")
+        save_resnet(grp["resnet_2"], f"down_{lvl}/resnet_2")
+        if "conv" in grp:
+            write_csv_matrix(str(base / f"down_{lvl}/conv_0.csv"),
+                             _kernels_to_rows(np.asarray(grp["conv"])))
+        if lvl == 2:
+            save_attn(grp["attn_1"], "down_2/self_attention_1")
+            save_attn(grp["attn_2"], "down_2/self_attention_2")
+    save_resnet(params["mid"]["resnet_1"], "mid/resnet_1")
+    save_attn(params["mid"]["attn"], "mid/self_attention_0")
+    save_resnet(params["mid"]["resnet_2"], "mid/resnet_2")
+    for lvl in (1, 2, 3, 4):
+        grp = params[f"up_{lvl}"]
+        save_resnet(grp["resnet_1"], f"up_{lvl}/resnet_1")
+        save_resnet(grp["resnet_2"], f"up_{lvl}/resnet_2")
+        if "conv" in grp:
+            write_csv_matrix(str(base / f"up_{lvl}/conv_0.csv"),
+                             _kernels_to_rows(np.asarray(grp["conv"])))
+        if lvl == 3:
+            save_attn(grp["attn_1"], "up_3/self_attention_1")
+            save_attn(grp["attn_2"], "up_3/self_attention_2")
+    write_csv_matrix(str(base / "output_conv.csv"),
+                     _kernels_to_rows(np.asarray(params["output_conv"])))
+
+
+def load_params_csv(cfg: Config = CONFIG,
+                    base: Path | None = None) -> Dict[str, Any]:
+    base = base or ckpt_dir()
+    d1, d2, d3, d4 = cfg.embed_dims
+    k = cfg.kernel_size
+
+    def load_kernels(rel, f, c, kh, kw):
+        rows = read_csv_matrix(str(base / rel), f * c, kh * kw)
+        return jnp.asarray(_rows_to_kernels(rows, f, c, kh, kw))
+
+    def load_resnet(prefix, in_ch, out_ch):
+        return {
+            "conv_1": load_kernels(f"{prefix}/conv_1.csv", out_ch, in_ch, k, k),
+            "conv_2": load_kernels(f"{prefix}/conv_2.csv", out_ch, out_ch, k, k),
+            "conv_3": load_kernels(f"{prefix}/conv_3.csv", out_ch, in_ch, 1, 1),
+            "time_w": jnp.asarray(read_csv_matrix(
+                str(base / prefix / "time_weight.csv"),
+                cfg.time_embed_dim, out_ch)),
+            "time_b": jnp.asarray(read_csv_matrix(
+                str(base / prefix / "time_bias.csv"), 1, out_ch)[0]),
+        }
+
+    def load_attn(prefix, ch):
+        kd = cfg.key_dim
+        return {
+            "q": jnp.asarray(read_csv_matrix(
+                str(base / prefix / "query.csv"), ch, kd)),
+            "k": jnp.asarray(read_csv_matrix(
+                str(base / prefix / "key.csv"), ch, kd)),
+            "v": jnp.asarray(read_csv_matrix(
+                str(base / prefix / "value.csv"), ch, kd)),
+            "w": jnp.asarray(read_csv_matrix(
+                str(base / prefix / "weight.csv"), kd, ch)),
+            "b": jnp.asarray(read_csv_matrix(
+                str(base / prefix / "bias.csv"), 1, ch)[0]),
+        }
+
+    p = {
+        "down_1": {"resnet_1": load_resnet("down_1/resnet_1",
+                                           cfg.in_channels, d1),
+                   "resnet_2": load_resnet("down_1/resnet_2", d1, d1),
+                   "conv": load_kernels("down_1/conv_0.csv", d2, d1, k, k)},
+        "down_2": {"resnet_1": load_resnet("down_2/resnet_1", d2, d2),
+                   "attn_1": load_attn("down_2/self_attention_1", d2),
+                   "resnet_2": load_resnet("down_2/resnet_2", d2, d2),
+                   "attn_2": load_attn("down_2/self_attention_2", d2),
+                   "conv": load_kernels("down_2/conv_0.csv", d3, d2, k, k)},
+        "down_3": {"resnet_1": load_resnet("down_3/resnet_1", d3, d3),
+                   "resnet_2": load_resnet("down_3/resnet_2", d3, d3),
+                   "conv": load_kernels("down_3/conv_0.csv", d4, d3, k, k)},
+        "down_4": {"resnet_1": load_resnet("down_4/resnet_1", d4, d4),
+                   "resnet_2": load_resnet("down_4/resnet_2", d4, d4)},
+        "mid": {"resnet_1": load_resnet("mid/resnet_1", d4, d4),
+                "attn": load_attn("mid/self_attention_0", d4),
+                "resnet_2": load_resnet("mid/resnet_2", d4, d4)},
+        "up_1": {"resnet_1": load_resnet("up_1/resnet_1", 2 * d4, d4),
+                 "resnet_2": load_resnet("up_1/resnet_2", d4, d4),
+                 "conv": load_kernels("up_1/conv_0.csv", d3, d4, k, k)},
+        "up_2": {"resnet_1": load_resnet("up_2/resnet_1", 2 * d3, d3),
+                 "resnet_2": load_resnet("up_2/resnet_2", d3, d3),
+                 "conv": load_kernels("up_2/conv_0.csv", d2, d3, k, k)},
+        "up_3": {"resnet_1": load_resnet("up_3/resnet_1", 2 * d2, d2),
+                 "attn_1": load_attn("up_3/self_attention_1", d2),
+                 "resnet_2": load_resnet("up_3/resnet_2", d2, d2),
+                 "attn_2": load_attn("up_3/self_attention_2", d2),
+                 "conv": load_kernels("up_3/conv_0.csv", d1, d2, k, k)},
+        "up_4": {"resnet_1": load_resnet("up_4/resnet_1", 2 * d1, d1),
+                 "resnet_2": load_resnet("up_4/resnet_2", d1, d1)},
+        "output_conv": load_kernels("output_conv.csv", cfg.in_channels,
+                                    d1, k, k),
+    }
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def time_embedding(t: jax.Array, cfg: Config) -> jax.Array:
+    """Sinusoidal timestep embedding (Ho et al. 2020 §B) → ReLU. The
+    reference allocates but never fills ``d->time_embedding`` (:532-535,
+    SURVEY.md §7.11); the comment at :168 records the ReLU intent."""
+    half = cfg.time_embed_dim // 2
+    freqs = jnp.exp(
+        -jnp.log(10000.0) * jnp.arange(half, dtype=jnp.float32)
+        / max(half - 1, 1)
+    )
+    ang = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+    return relu(emb)
+
+
+def _resnet_block(x, temb, p, cfg: Config, key, train: bool):
+    """GN→ReLU→conv3×3 → +time → GN→ReLU→dropout→conv3×3 + residual
+    (``_forward_resnet``, model/cifar_unet.c:1044-1072)."""
+    in_ch = x.shape[1]
+    out_ch = p["conv_1"].shape[0]
+    h = relu(group_norm(x, cfg.group_size))
+    h = conv2d(h, p["conv_1"], 1)
+    td = temb @ p["time_w"] + p["time_b"]          # (B, out)
+    h = h + td[:, :, None, None]
+    h = relu(group_norm(h, cfg.group_size))
+    h = dropout(h, cfg.dropout_rate, key, deterministic=not train)
+    h = conv2d(h, p["conv_2"], 1)
+    residual = x if in_ch == out_ch else conv2d(x, p["conv_3"], 1)
+    return h + residual
+
+
+def _upsample(x, stride):
+    """Nearest-neighbour ×stride (``_nearest_neighbours``,
+    model/cifar_unet.c:1074-1086)."""
+    b, c, h, w = x.shape
+    return jnp.repeat(jnp.repeat(x, stride, axis=2), stride, axis=3)
+
+
+def forward(params, x, t, cfg: Config = CONFIG, key=None,
+            train: bool = False) -> jax.Array:
+    """Full U-Net forward (≈ ``forward``, model/cifar_unet.c:1099-1165, with
+    the §7.2 up_3 wiring fixed). x: (B, 3, 32, 32) in [−1, 1]; t: (B,)."""
+    if key is None:
+        key = jax.random.key(0)
+    rkeys = iter(jax.random.split(key, 24))
+    rk = lambda: next(rkeys)
+    temb = time_embedding(t, cfg)
+    s = cfg.resize_stride
+    d1, d2, d3, d4 = cfg.embed_dims
+
+    # Down
+    h = _resnet_block(x, temb, params["down_1"]["resnet_1"], cfg, rk(), train)
+    skip_1 = _resnet_block(h, temb, params["down_1"]["resnet_2"], cfg, rk(),
+                           train)
+    h = conv2d(skip_1, params["down_1"]["conv"], s)
+
+    h = _resnet_block(h, temb, params["down_2"]["resnet_1"], cfg, rk(), train)
+    h = self_attention_block(h, params["down_2"]["attn_1"])
+    h = _resnet_block(h, temb, params["down_2"]["resnet_2"], cfg, rk(), train)
+    skip_2 = self_attention_block(h, params["down_2"]["attn_2"])
+    h = conv2d(skip_2, params["down_2"]["conv"], s)
+
+    h = _resnet_block(h, temb, params["down_3"]["resnet_1"], cfg, rk(), train)
+    skip_3 = _resnet_block(h, temb, params["down_3"]["resnet_2"], cfg, rk(),
+                           train)
+    h = conv2d(skip_3, params["down_3"]["conv"], s)
+
+    h = _resnet_block(h, temb, params["down_4"]["resnet_1"], cfg, rk(), train)
+    skip_4 = _resnet_block(h, temb, params["down_4"]["resnet_2"], cfg, rk(),
+                           train)
+
+    # Mid
+    h = _resnet_block(skip_4, temb, params["mid"]["resnet_1"], cfg, rk(),
+                      train)
+    h = self_attention_block(h, params["mid"]["attn"])
+    h = _resnet_block(h, temb, params["mid"]["resnet_2"], cfg, rk(), train)
+
+    # Up (skip concat along channels, :1088-1097)
+    h = jnp.concatenate([h, skip_4], axis=1)
+    h = _resnet_block(h, temb, params["up_1"]["resnet_1"], cfg, rk(), train)
+    h = _resnet_block(h, temb, params["up_1"]["resnet_2"], cfg, rk(), train)
+    h = _upsample(h, s)
+    if d4 != d3:
+        h = conv2d(h, params["up_1"]["conv"], 1)
+
+    h = jnp.concatenate([h, skip_3], axis=1)
+    h = _resnet_block(h, temb, params["up_2"]["resnet_1"], cfg, rk(), train)
+    h = _resnet_block(h, temb, params["up_2"]["resnet_2"], cfg, rk(), train)
+    h = _upsample(h, s)
+    if d3 != d2:
+        h = conv2d(h, params["up_2"]["conv"], 1)
+
+    h = jnp.concatenate([h, skip_2], axis=1)
+    h = _resnet_block(h, temb, params["up_3"]["resnet_1"], cfg, rk(), train)
+    h = self_attention_block(h, params["up_3"]["attn_1"])
+    h = _resnet_block(h, temb, params["up_3"]["resnet_2"], cfg, rk(), train)
+    h = self_attention_block(h, params["up_3"]["attn_2"])  # §7.2 fixed
+    h = _upsample(h, s)
+    if d2 != d1:
+        h = conv2d(h, params["up_3"]["conv"], 1)
+
+    h = jnp.concatenate([h, skip_1], axis=1)
+    h = _resnet_block(h, temb, params["up_4"]["resnet_1"], cfg, rk(), train)
+    h = _resnet_block(h, temb, params["up_4"]["resnet_2"], cfg, rk(), train)
+
+    # Output (:1163-1165)
+    h = relu(group_norm(h, cfg.group_size))
+    return conv2d(h, params["output_conv"], 1)
+
+
+# ---------------------------------------------------------------------------
+# DDPM schedule / loss / train step
+# ---------------------------------------------------------------------------
+
+
+def ddpm_schedule(cfg: Config):
+    betas = jnp.linspace(cfg.beta_start, cfg.beta_end, cfg.timesteps,
+                         dtype=jnp.float32)
+    alphas = 1.0 - betas
+    alpha_bars = jnp.cumprod(alphas)
+    return betas, alphas, alpha_bars
+
+
+def loss_fn(params, x0, key, cfg: Config = CONFIG):
+    """DDPM simple loss: ‖ε − ε̂(√ᾱ_t·x₀ + √(1−ᾱ_t)·ε, t)‖² (mean)."""
+    _, _, alpha_bars = ddpm_schedule(cfg)
+    kt, kn, kd = jax.random.split(key, 3)
+    b = x0.shape[0]
+    t = jax.random.randint(kt, (b,), 0, cfg.timesteps)
+    noise = jax.random.normal(kn, x0.shape, x0.dtype)
+    ab = alpha_bars[t][:, None, None, None]
+    xt = jnp.sqrt(ab) * x0 + jnp.sqrt(1.0 - ab) * noise
+    pred = forward(params, xt, t, cfg, key=kd, train=True)
+    # mse_loss (nn/losses.py) carries the reference's 2(pred−target) seed;
+    # normalize to a mean like compute_mse_loss (model/cifar_unet.c:1858)
+    return mse_loss(pred, noise) / np.prod(x0.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",),
+                   donate_argnums=(0, 1))
+def train_step(params, opt_state: AdamState, x0, key,
+               cfg: Config = CONFIG):
+    loss, grads = jax.value_and_grad(loss_fn)(params, x0, key, cfg)
+    params, opt_state = adam_update(params, grads, opt_state, cfg.learn_rate)
+    return params, opt_state, loss
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_samples"))
+def sample(params, key, cfg: Config = CONFIG, num_samples: int = 1):
+    """DDPM ancestral sampling (Ho et al. alg. 2) as one jitted
+    lax.fori_loop — finishing the reference's empty ``run`` (:1936-1938)."""
+    betas, alphas, alpha_bars = ddpm_schedule(cfg)
+    shape = (num_samples, cfg.in_channels, cfg.image_size, cfg.image_size)
+    key, k0 = jax.random.split(key)
+    x_init = jax.random.normal(k0, shape, jnp.float32)
+
+    def body(i, carry):
+        x, key = carry
+        t = cfg.timesteps - 1 - i
+        key, kz = jax.random.split(key)
+        tb = jnp.full((num_samples,), t, jnp.int32)
+        eps = forward(params, x, tb, cfg, train=False)
+        beta = betas[t]
+        alpha = alphas[t]
+        ab = alpha_bars[t]
+        mean = (x - beta / jnp.sqrt(1.0 - ab) * eps) / jnp.sqrt(alpha)
+        z = jax.random.normal(kz, shape, jnp.float32)
+        x = jnp.where(t > 0, mean + jnp.sqrt(beta) * z, mean)
+        return x, key
+
+    x, _ = jax.lax.fori_loop(0, cfg.timesteps, body, (x_init, key))
+    return jnp.clip(x, -1.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# CLI verbs
+# ---------------------------------------------------------------------------
+
+
+def _cfg_from_flags(flags) -> Config:
+    return TINY if "tiny" in (flags or {}) else CONFIG
+
+
+def init(flags=None) -> None:
+    cfg = _cfg_from_flags(flags)
+    params = init_params(jax.random.key(cfg.seed), cfg)
+    save_params_csv(params, cfg)
+    print(f"initialized parameters in {ckpt_dir()}")
+
+
+def train(num_epochs: int, *args, flags=None) -> None:
+    flags = flags or {}
+    cfg = _cfg_from_flags(flags)
+    batch_paths = synth.ensure_cifar(str(common.data_dir()))
+    data = Cifar10Batches(batch_paths)
+    if (ckpt_dir() / "output_conv.csv").is_file():
+        params = load_params_csv(cfg)
+    else:
+        print("no checkpoint found; initializing")
+        params = init_params(jax.random.key(cfg.seed), cfg)
+    opt_state = adam_init(params)
+    state_dir = str(ckpt_dir() / "train_state")
+    step0 = ckpt_pytree.latest_step(state_dir)
+    if step0 is not None:
+        restored = ckpt_pytree.restore_pytree(
+            state_dir, {"params": params, "opt": opt_state})
+        params, opt_state = restored["params"], AdamState(*restored["opt"])
+        print(f"resumed train state at step {int(opt_state.step)}")
+    logger = common.MetricsLogger(flags.get("jsonl") or None)
+    rng = np.random.default_rng(cfg.seed)
+    key = jax.random.key(cfg.seed)
+    max_steps = int(flags.get("max-steps") or 0)  # 0 = whole epoch
+    for epoch in range(num_epochs):
+        t0 = time.perf_counter()
+        losses = []
+        for step_i, (_, imgs) in enumerate(
+                data.epoch_batches(rng, cfg.batch_size)):
+            if max_steps and step_i >= max_steps:
+                break
+            key, kstep = jax.random.split(key)
+            params, opt_state, loss = train_step(
+                params, opt_state, jnp.asarray(imgs), kstep, cfg)
+            losses.append(loss)
+        losses = [float(l) for l in losses]
+        dt = time.perf_counter() - t0
+        n = len(losses) * cfg.batch_size
+        logger.log(epoch=epoch, avg_loss=float(np.mean(losses)),
+                   epoch_seconds=dt, images_per_sec=n / dt,
+                   step=int(opt_state.step))
+    save_params_csv(params, cfg)
+    ckpt_pytree.save_pytree(state_dir, int(opt_state.step),
+                            {"params": params, "opt": opt_state})
+    logger.close()
+
+
+def run(num_predictions: int = 1, flags=None) -> None:
+    """Sample images and write BMPs (the reference's intended ``run``)."""
+    flags = flags or {}
+    cfg = _cfg_from_flags(flags)
+    n = 1 if num_predictions in (-1, 0) else num_predictions
+    params = load_params_csv(cfg)
+    imgs = sample(params, jax.random.key(int(flags.get("sample-seed") or 0)),
+                  cfg, n)
+    out_dir = ckpt_dir() / "samples"
+    for i in range(n):
+        pix = chw_to_pixels(np.asarray(imgs[i])).reshape(
+            3, cfg.image_size, cfg.image_size)
+        # flip rows: BMP renders bottom-up (lib/cifar10.c:19-30)
+        path = out_dir / f"sample_{i}.bmp"
+        bmp_io.write_bmp(str(path), pix[0][::-1], pix[1][::-1], pix[2][::-1])
+        print(f"wrote {path}")
+
+
+def main(argv=None) -> int:
+    return common.run_cli(
+        "cifar_unet", init, train, run, argv=argv,
+        train_usage="train <num epochs>",
+        run_usage="run [<num samples> (default 1)]",
+    )
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

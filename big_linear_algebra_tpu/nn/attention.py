@@ -1,0 +1,335 @@
+"""Scaled dot-product attention: dense reference math + flash Pallas kernels.
+
+Reference semantics (model/cifar_unet.c:999-1022 ``_forward_attention``):
+single-head, unmasked: ``S = QKᵀ/√d`` → row-softmax (lib/util.c:36) → ``PV``.
+The reference materializes the full N×N score matrix
+(``_allocate_self_attention_block_data``, :409-417) and hand-derives the
+backward incl. the softmax Jacobian (``_backward_attention`` :1261-1335,
+``_softmax_ddx`` :1246).
+
+TPU-native design (SURVEY.md §5 "Long-context"):
+- ``attention_dense``: exact reference math with an explicit VJP (the
+  reference's derivation in matrix form). Right choice for the U-Net's
+  N ≤ 256 spatial tokens — one MXU GEMM pair beats a kernel launch.
+- ``flash_attention``: blockwise online-softmax Pallas kernel that never
+  materializes N×N in HBM, with a flash *backward* (saved per-row logsumexp,
+  scores recomputed blockwise) — also hand-written Pallas. Scales to long
+  sequences and is the building block for the ring/sequence-parallel mode in
+  ``parallel/ring_attention.py``.
+- ``attention`` dispatches between them by sequence length/backend.
+
+Shapes: q, k, v are (B, N, d) (single head; for multi-head fold heads into B).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from big_linear_algebra_tpu.ops.pallas_utils import round_up, use_interpret
+
+_FLASH_MIN_N = 1024  # below this the dense path wins (kernel launch + pad)
+
+
+# ---------------------------------------------------------------------------
+# Dense path: exact reference math, explicit VJP
+# ---------------------------------------------------------------------------
+
+
+def _dense_fwd_impl(q, k, v):
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    acc_t = jnp.float64 if q.dtype == jnp.float64 else jnp.float32
+    s = jnp.einsum("bnd,bmd->bnm", q, k,
+                   preferred_element_type=acc_t) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / l
+    o = jnp.einsum("bnm,bmd->bnd", p, v.astype(p.dtype))
+    return o.astype(q.dtype), p
+
+
+@jax.custom_vjp
+def attention_dense(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """softmax(QKᵀ/√d)V with the N×N matrix materialized (the reference's
+    exact formulation, model/cifar_unet.c:999-1022)."""
+    return _dense_fwd_impl(q, k, v)[0]
+
+
+def _attention_dense_fwd(q, k, v):
+    o, p = _dense_fwd_impl(q, k, v)
+    return o, (q, k, v, p)
+
+
+def _attention_dense_bwd(res, g):
+    q, k, v, p = res
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    g = g.astype(p.dtype)
+    dv = jnp.einsum("bnm,bnd->bmd", p, g)
+    dp = jnp.einsum("bnd,bmd->bnm", g, v.astype(p.dtype))
+    # softmax Jacobian per row: ds = p ⊙ (dp − Σ_j dp_j p_j)
+    # (model/cifar_unet.c:1246-1258,1307-1308)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bnm,bmd->bnd", ds, k.astype(ds.dtype)) * scale
+    dk = jnp.einsum("bnm,bnd->bmd", ds, q.astype(ds.dtype)) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+attention_dense.defvjp(_attention_dense_fwd, _attention_dense_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Flash path: Pallas blockwise online softmax (fwd) + flash backward
+# ---------------------------------------------------------------------------
+
+
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                      scale, block_k, n_valid):
+    q = q_ref[0].astype(jnp.float32)                   # (bq, d)
+    bq = q.shape[0]
+    n_pad = k_ref.shape[1]
+    n_blocks = n_pad // block_k
+
+    def body(j, carry):
+        m, l, acc = carry
+        kb = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        vb = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # (bq, bk)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+        s = jnp.where(col < n_valid, s, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l, acc
+
+    m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, q_ref.shape[2]), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = (m + jnp.log(l))[:, 0]
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                         dq_ref, *, scale, block_k, n_valid):
+    q = q_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, None]
+    delta = delta_ref[0][:, None]
+    n_pad = k_ref.shape[1]
+
+    def body(j, dq):
+        kb = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        vb = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+        p = jnp.where(col < n_valid, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(g, vb, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return dq + jax.lax.dot_general(
+            ds, kb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+    dq0 = jnp.zeros_like(q)
+    dq = jax.lax.fori_loop(0, n_pad // block_k, body, dq0)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, *, scale, block_q, n_valid):
+    kb = k_ref[0].astype(jnp.float32)                  # (bk, d)
+    vb = v_ref[0].astype(jnp.float32)
+    n_pad = q_ref.shape[1]
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        g = g_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(i * block_q, block_q)][:, None]
+        delta = delta_ref[0, pl.ds(i * block_q, block_q)][:, None]
+        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * block_q
+        p = jnp.where(row < n_valid, jnp.exp(s - lse), 0.0)
+        dv = dv + jax.lax.dot_general(p, g, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(g, vb, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32) * scale
+        return dk, dv
+
+    dk0 = jnp.zeros_like(kb)
+    dv0 = jnp.zeros_like(vb)
+    dk, dv = jax.lax.fori_loop(0, n_pad // block_q, body, (dk0, dv0))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _pad_nd(x, n_pad, d_pad):
+    b, n, d = x.shape
+    if n == n_pad and d == d_pad:
+        return x
+    return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, d_pad - d)))
+
+
+def _flash_fwd(q, k, v, block_q, block_k):
+    b, n, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    d_pad = round_up(d, 128)
+    n_pad = round_up(n, max(block_q, block_k))
+    qp, kp, vp = (_pad_nd(x, n_pad, d_pad) for x in (q, k, v))
+    grid = (b, n_pad // block_q)
+    o, lse = pl.pallas_call(
+        functools.partial(_flash_fwd_kernel, scale=scale, block_k=block_k,
+                          n_valid=n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda b, i: (b, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((b, n_pad), jnp.float32),
+        ],
+        interpret=use_interpret(),
+    )(qp, kp, vp)
+    return o[:, :n, :d], lse[:, :n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    block_q: int = 512, block_k: int = 512) -> jax.Array:
+    """Blockwise online-softmax attention; N×N never hits HBM."""
+    return _flash_fwd(q, k, v, block_q, block_k)[0]
+
+
+def _flash_attention_fwd(q, k, v, block_q, block_k):
+    o, lse = _flash_fwd(q, k, v, block_q, block_k)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_attention_bwd(block_q, block_k, res, g):
+    q, k, v, o, lse = res
+    b, n, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    g = g.astype(q.dtype)
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    d_pad = round_up(d, 128)
+    n_pad = round_up(n, max(block_q, block_k))
+    qp, kp, vp, gp = (_pad_nd(x, n_pad, d_pad) for x in (q, k, v, g))
+    lse_p = jnp.pad(lse, ((0, 0), (0, n_pad - n)))
+    delta_p = jnp.pad(delta, ((0, 0), (0, n_pad - n)))
+
+    row_specs = [
+        pl.BlockSpec((1, n_pad, d_pad), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_pad), lambda b, i: (b, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, block_k=block_k,
+                          n_valid=n),
+        grid=(b, n_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),   # q
+            row_specs[0],                            # k (full)
+            row_specs[0],                            # v (full)
+            pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),   # g
+            pl.BlockSpec((1, block_q), lambda b, i: (b, i),
+                         memory_space=pltpu.VMEM),   # lse
+            pl.BlockSpec((1, block_q), lambda b, i: (b, i),
+                         memory_space=pltpu.VMEM),   # delta
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, d_pad), q.dtype),
+        interpret=use_interpret(),
+    )(qp, kp, vp, gp, lse_p, delta_p)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale,
+                          block_q=block_q, n_valid=n),
+        grid=(b, n_pad // block_k),
+        in_specs=[
+            row_specs[0],                            # q (full)
+            pl.BlockSpec((1, block_k, d_pad), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),   # k block
+            pl.BlockSpec((1, block_k, d_pad), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),   # v block
+            row_specs[0],                            # g (full)
+            row_specs[1],                            # lse (full)
+            row_specs[1],                            # delta (full)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d_pad), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d_pad), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, d_pad), k.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, d_pad), v.dtype),
+        ],
+        interpret=use_interpret(),
+    )(qp, kp, vp, gp, lse_p, delta_p)
+
+    return dq[:, :n, :d], dk[:, :n, :d], dv[:, :n, :d]
+
+
+flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
+def attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Dispatch: dense for short sequences, flash for long."""
+    if q.shape[1] >= _FLASH_MIN_N and q.dtype != jnp.float64:
+        return flash_attention(q, k, v)
+    return attention_dense(q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# The U-Net's self-attention block
+# ---------------------------------------------------------------------------
+
+
+def self_attention_block(x: jax.Array, params) -> jax.Array:
+    """(B, C, H, W) → (B, C, H, W). ≈ ``_forward_attention``
+    (model/cifar_unet.c:999-1022): reshape to (HW, C), project Q/K/V to
+    key_dim, attend, dense back to C with bias, reshape.
+
+    ``params``: dict with q/k/v (C, key_dim), w (key_dim, C), b (C,).
+    """
+    b, c, h, w = x.shape
+    tokens = x.reshape(b, c, h * w).transpose(0, 2, 1)   # (B, HW, C)
+    q = jnp.einsum("bnc,ck->bnk", tokens, params["q"])
+    k = jnp.einsum("bnc,ck->bnk", tokens, params["k"])
+    v = jnp.einsum("bnc,ck->bnk", tokens, params["v"])
+    att = attention(q, k, v)                             # (B, HW, key_dim)
+    out = jnp.einsum("bnk,kc->bnc", att, params["w"]) + params["b"]
+    return out.transpose(0, 2, 1).reshape(b, c, h, w)

@@ -22,6 +22,11 @@ import jax  # noqa: E402
 # at import time; the config update below wins over both.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compile cache: the U-Net train/sample graphs take minutes to
+# compile on CPU; cache them across test runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/bla_jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,93 @@
+"""Attention tests: dense reference math, flash Pallas kernel parity, VJPs."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from big_linear_algebra_tpu.nn.attention import (
+    attention_dense,
+    flash_attention,
+    self_attention_block,
+)
+
+
+def _np_attention(q, k, v):
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    s = np.einsum("bnd,bmd->bnm", q, k) * scale
+    s = s - s.max(-1, keepdims=True)
+    p = np.exp(s)
+    p /= p.sum(-1, keepdims=True)
+    return np.einsum("bnm,bmd->bnd", p, v)
+
+
+def test_dense_forward(rng):
+    q = rng.standard_normal((2, 7, 5))
+    k = rng.standard_normal((2, 9, 5))
+    v = rng.standard_normal((2, 9, 5))
+    out = np.asarray(attention_dense(*map(jnp.asarray, (q, k, v))))
+    np.testing.assert_allclose(out, _np_attention(q, k, v), rtol=1e-9,
+                               atol=1e-12)
+
+
+def test_dense_vjp_matches_autodiff(rng):
+    q, k, v = (jnp.asarray(rng.standard_normal((2, 6, 4))) for _ in range(3))
+    g = jnp.asarray(rng.standard_normal((2, 6, 4)))
+
+    def plain(q, k, v):
+        s = jnp.einsum("bnd,bmd->bnm", q, k) / math.sqrt(q.shape[-1])
+        return jnp.einsum("bnm,bmd->bnd", jax.nn.softmax(s, axis=-1), v)
+
+    _, vjp = jax.vjp(attention_dense, q, k, v)
+    _, ref_vjp = jax.vjp(plain, q, k, v)
+    for got, want in zip(vjp(g), ref_vjp(g)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("n,d,bq,bk", [
+    (256, 16, 128, 128),
+    (300, 16, 128, 128),   # non-aligned N → padding + masking
+    (256, 64, 128, 256),
+])
+def test_flash_forward_matches_dense(rng, n, d, bq, bk):
+    q = jnp.asarray(rng.standard_normal((2, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, n, d)), jnp.float32)
+    out = np.asarray(flash_attention(q, k, v, bq, bk))
+    want = np.asarray(attention_dense(q, k, v))
+    np.testing.assert_allclose(out, want, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("n", [256, 300])
+def test_flash_backward_matches_dense(rng, n):
+    q = jnp.asarray(rng.standard_normal((1, n, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, n, 16)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, n, 16)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((1, n, 16)), jnp.float32)
+    _, vjp_f = jax.vjp(lambda *a: flash_attention(*a, 128, 128), q, k, v)
+    _, vjp_d = jax.vjp(attention_dense, q, k, v)
+    for got, want in zip(vjp_f(g), vjp_d(g)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-4, atol=3e-5)
+
+
+def test_self_attention_block_shape_and_grad(rng):
+    c, kd = 12, 4
+    params = {
+        "q": jnp.asarray(rng.standard_normal((c, kd)), jnp.float32) * 0.1,
+        "k": jnp.asarray(rng.standard_normal((c, kd)), jnp.float32) * 0.1,
+        "v": jnp.asarray(rng.standard_normal((c, kd)), jnp.float32) * 0.1,
+        "w": jnp.asarray(rng.standard_normal((kd, c)), jnp.float32) * 0.1,
+        "b": jnp.zeros((c,), jnp.float32),
+    }
+    x = jnp.asarray(rng.standard_normal((2, c, 4, 4)), jnp.float32)
+    out = self_attention_block(x, params)
+    assert out.shape == x.shape
+    grads = jax.grad(
+        lambda p: jnp.sum(self_attention_block(x, p) ** 2))(params)
+    for leaf in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
+        assert np.abs(np.asarray(leaf)).max() > 0

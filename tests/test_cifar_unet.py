@@ -1,0 +1,115 @@
+"""cifar_unet end-to-end tests (TINY config on CPU)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from big_linear_algebra_tpu.models import cifar_unet as cu
+
+
+@pytest.fixture
+def env_data_dir(tmp_path):
+    os.environ["BLA_DATA_DIR"] = str(tmp_path)
+    yield tmp_path
+    del os.environ["BLA_DATA_DIR"]
+
+
+CFG = cu.TINY
+
+
+def test_forward_shape_and_finiteness(rng):
+    params = cu.init_params(jax.random.key(0), CFG)
+    x = jnp.asarray(rng.standard_normal((2, 3, 32, 32)), jnp.float32)
+    t = jnp.asarray([0, CFG.timesteps - 1])
+    out = cu.forward(params, x, t, CFG)
+    assert out.shape == (2, 3, 32, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_time_embedding_changes_output(rng):
+    params = cu.init_params(jax.random.key(0), CFG)
+    x = jnp.asarray(rng.standard_normal((1, 3, 32, 32)), jnp.float32)
+    o0 = np.asarray(cu.forward(params, x, jnp.asarray([0]), CFG))
+    o1 = np.asarray(cu.forward(params, x, jnp.asarray([CFG.timesteps - 1]),
+                               CFG))
+    assert np.abs(o0 - o1).max() > 1e-6
+
+
+def test_gradients_reach_every_parameter(rng):
+    params = cu.init_params(jax.random.key(0), CFG)
+    x0 = jnp.asarray(rng.standard_normal((2, 3, 32, 32)), jnp.float32)
+    grads = jax.grad(cu.loss_fn)(params, x0, jax.random.key(1), CFG)
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    for path, leaf in flat:
+        arr = np.asarray(leaf)
+        name = jax.tree_util.keystr(path)
+        assert np.isfinite(arr).all(), f"non-finite grad at {name}"
+        # conv_3 (1x1 residual conv) is only applied when channels change
+        # (model/cifar_unet.c:1061-1071) — zero grad is correct elsewhere.
+        if "conv_3" in name:
+            used = any(f"'{blk}'" in name and "'resnet_1'" in name
+                       for blk in ("down_1", "up_1", "up_2", "up_3", "up_4"))
+            if not used:
+                continue
+        # up_1/up_2 channel-matching convs are skipped when dims are equal
+        # (model/cifar_unet.c:1130-1133) — TINY/CONFIG both have d4==d3==d2.
+        if ("'up_1'" in name or "'up_2'" in name) and "'conv'" in name:
+            continue
+        assert np.abs(arr).max() > 0, f"zero grad at {name} (dead wiring?)"
+
+
+def test_train_step_reduces_loss(rng):
+    params = cu.init_params(jax.random.key(0), CFG)
+    opt = cu.adam_init(params)
+    x0 = jnp.asarray(rng.standard_normal((2, 3, 32, 32)) * 0.5, jnp.float32)
+    cfg = cu.TINY
+    key = jax.random.key(2)
+    losses = []
+    for _ in range(40):
+        key, k = jax.random.split(key)
+        params, opt, loss = cu.train_step(params, opt, x0, k, cfg)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]), losses
+
+
+def test_csv_checkpoint_roundtrip(env_data_dir, rng):
+    params = cu.init_params(jax.random.key(3), CFG)
+    cu.save_params_csv(params, CFG)
+    back = cu.load_params_csv(CFG)
+    x = jnp.asarray(rng.standard_normal((1, 3, 32, 32)), jnp.float32)
+    t = jnp.asarray([5])
+    o1 = np.asarray(cu.forward(params, x, t, CFG))
+    o2 = np.asarray(cu.forward(back, x, t, CFG))
+    np.testing.assert_allclose(o1, o2, atol=1e-4)
+
+
+def test_sampling_shape(rng):
+    params = cu.init_params(jax.random.key(4), CFG)
+    # num_samples=1 shares the compiled graph with the run-CLI test
+    imgs = cu.sample(params, jax.random.key(0), CFG, 1)
+    assert imgs.shape == (1, 3, 32, 32)
+    arr = np.asarray(imgs)
+    assert np.isfinite(arr).all()
+    assert arr.min() >= -1.0 and arr.max() <= 1.0
+
+
+def test_cli_end_to_end(env_data_dir, capsys):
+    from big_linear_algebra_tpu.data import synth
+
+    synth.ensure_cifar(str(env_data_dir), n_batches=1, per_batch=8)
+    assert cu.main(["init", "--tiny"]) == 0
+    assert cu.main(["train", "1", "--tiny"]) == 0
+    out = capsys.readouterr().out
+    assert "avg_loss" in out
+    # resume: second train run restores the saved train state
+    assert cu.main(["train", "1", "--tiny"]) == 0
+    out = capsys.readouterr().out
+    assert "resumed train state" in out
+    assert cu.main(["run", "1", "--tiny"]) == 0
+    out = capsys.readouterr().out
+    assert "sample_0.bmp" in out
+    assert (env_data_dir / "cifar_unet/samples/sample_0.bmp").is_file()
