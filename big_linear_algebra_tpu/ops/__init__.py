@@ -21,6 +21,7 @@ from big_linear_algebra_tpu.ops.matrix import (  # noqa: F401
     frobenius_norm,
     max_value,
     matrix_z_score_normalize,
+    print_matrix,
 )
 from big_linear_algebra_tpu.ops.activations import (  # noqa: F401
     relu,
