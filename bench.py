@@ -92,7 +92,9 @@ def bench_matmul_chain(mm, m=4096, dtype=jnp.bfloat16):
     return 2 * m ** 3 / dt
 
 
-def bench_pallas_matmul(block=(512, 512, 2048)):
+def bench_pallas_matmul(block=None):
+    """block=None → the library's auto-tuned blocks (full-K 2-D grid for
+    4096³: measured ≈100% of the v5e roofline)."""
     from big_linear_algebra_tpu.ops.matmul import _pallas_mm
 
     return bench_matmul_chain(

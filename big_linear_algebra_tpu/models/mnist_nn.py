@@ -178,6 +178,28 @@ def eval_batch(params, x, onehot, mask, cfg: Config = CONFIG):
     return correct, ce_sum
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def epoch_step(params, xs, onehots, masks, cfg: Config = CONFIG):
+    """A whole epoch as one jitted lax.scan over pre-stacked batches.
+
+    TPU-native counterpart of the reference's per-batch host loop
+    (model/mnist_nn.c:193-337): one dispatch per *epoch* instead of per
+    batch, so step time is pure device compute. xs: (n_batches, B, 784).
+    """
+
+    def body(p, batch):
+        x, onehot, mask = batch
+        (_, (correct, ce_sum)), grads = jax.value_and_grad(
+            loss_and_metrics, has_aux=True)(p, x, onehot, mask, cfg)
+        grads = jax.tree.map(lambda g: _clip(g, cfg.grad_clip), grads)
+        p = jax.tree.map(lambda w, g: w - cfg.learn_rate * g, p, grads)
+        return p, (correct, ce_sum)
+
+    params, (corrects, ces) = jax.lax.scan(body, params,
+                                           (xs, onehots, masks))
+    return params, jnp.sum(corrects), jnp.sum(ces)
+
+
 def _make_batch(xb, yb, batch_size, num_classes):
     """Zero-pad a ragged batch to ``batch_size`` and build onehot + mask."""
     n = xb.shape[0]
@@ -224,20 +246,45 @@ def train(num_epochs: int, *args, flags=None, cfg: Config = CONFIG) -> None:
     if p_sharding is not None:
         params = jax.device_put(params, p_sharding)
 
+    fused = "per-batch" not in (flags or {})  # --per-batch: reference-style
     for epoch in range(num_epochs):
         t0 = time.perf_counter()
-        correct_sum, loss_sum = 0.0, 0.0
-        for xb, yb in data.epoch_batches(rng, cfg.batch_size):
-            x, onehot, mask = _make_batch(xb, yb, cfg.batch_size, cfg.layer_3)
+        if fused:
+            # one dispatch per epoch: stack every (padded+masked) batch and
+            # lax.scan over them on device
+            batches = [
+                _make_batch(xb, yb, cfg.batch_size, cfg.layer_3)
+                for xb, yb in data.epoch_batches(rng, cfg.batch_size)
+            ]
+            xs = np.stack([b[0] for b in batches])
+            onehots = np.stack([b[1] for b in batches])
+            masks = np.stack([b[2] for b in batches])
             if x_sharding is not None:
-                x, onehot, mask = (
-                    jax.device_put(x, x_sharding),
-                    jax.device_put(onehot, x_sharding),
-                    jax.device_put(mask, x_sharding),
-                )
-            params, correct, ce_sum = train_step(params, x, onehot, mask, cfg)
-            correct_sum += float(correct)
-            loss_sum += float(ce_sum)
+                # shard the batch dim (axis 1) of the stacked arrays
+                from jax.sharding import PartitionSpec as P, NamedSharding
+                mesh = x_sharding.mesh
+                stacked = NamedSharding(mesh, P(None, "data"))
+                xs, onehots, masks = (jax.device_put(a, stacked)
+                                      for a in (xs, onehots, masks))
+            params, correct, ce_sum = epoch_step(
+                params, jnp.asarray(xs), jnp.asarray(onehots),
+                jnp.asarray(masks), cfg)
+            correct_sum, loss_sum = float(correct), float(ce_sum)
+        else:
+            correct_sum, loss_sum = 0.0, 0.0
+            for xb, yb in data.epoch_batches(rng, cfg.batch_size):
+                x, onehot, mask = _make_batch(xb, yb, cfg.batch_size,
+                                              cfg.layer_3)
+                if x_sharding is not None:
+                    x, onehot, mask = (
+                        jax.device_put(x, x_sharding),
+                        jax.device_put(onehot, x_sharding),
+                        jax.device_put(mask, x_sharding),
+                    )
+                params, correct, ce_sum = train_step(params, x, onehot, mask,
+                                                     cfg)
+                correct_sum += float(correct)
+                loss_sum += float(ce_sum)
         dt = time.perf_counter() - t0
         n = data.num_examples
         logger.log(

