@@ -475,6 +475,26 @@ def train_step(params, opt_state: AdamState, x0, key,
     return params, opt_state, loss
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",),
+                   donate_argnums=(0, 1))
+def train_chunk(params, opt_state: AdamState, xs, keys,
+                cfg: Config = CONFIG):
+    """K train steps as one jitted lax.scan (one dispatch per chunk).
+    xs: (K, B, 3, H, W); keys: (K,) PRNG keys. Numerically identical to K
+    sequential ``train_step`` calls."""
+
+    def body(carry, inp):
+        p, o = carry
+        x0, k = inp
+        loss, grads = jax.value_and_grad(loss_fn)(p, x0, k, cfg)
+        p, o = adam_update(p, grads, o, cfg.learn_rate)
+        return (p, o), loss
+
+    (params, opt_state), losses = jax.lax.scan(
+        body, (params, opt_state), (xs, keys))
+    return params, opt_state, losses
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "num_samples"))
 def sample(params, key, cfg: Config = CONFIG, num_samples: int = 1):
     """DDPM ancestral sampling (Ho et al. alg. 2) as one jitted
@@ -540,13 +560,30 @@ def train(num_epochs: int, *args, flags=None) -> None:
     rng = np.random.default_rng(cfg.seed)
     key = jax.random.key(cfg.seed)
     max_steps = int(flags.get("max-steps") or 0)  # 0 = whole epoch
+    scan_steps = int(flags.get("scan-steps") or 1)  # steps per dispatch
     for epoch in range(num_epochs):
         t0 = time.perf_counter()
         losses = []
+        chunk = []
         for step_i, (_, imgs) in enumerate(
                 data.epoch_batches(rng, cfg.batch_size)):
             if max_steps and step_i >= max_steps:
                 break
+            if scan_steps > 1:
+                chunk.append(imgs)
+                if len(chunk) == scan_steps:
+                    key, *ks = jax.random.split(key, scan_steps + 1)
+                    params, opt_state, chunk_losses = train_chunk(
+                        params, opt_state, jnp.asarray(np.stack(chunk)),
+                        jnp.stack(ks), cfg)
+                    losses.extend(list(chunk_losses))
+                    chunk = []
+            else:
+                key, kstep = jax.random.split(key)
+                params, opt_state, loss = train_step(
+                    params, opt_state, jnp.asarray(imgs), kstep, cfg)
+                losses.append(loss)
+        for imgs in chunk:  # ragged tail: per-step path
             key, kstep = jax.random.split(key)
             params, opt_state, loss = train_step(
                 params, opt_state, jnp.asarray(imgs), kstep, cfg)
