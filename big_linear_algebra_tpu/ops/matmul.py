@@ -269,7 +269,13 @@ def _dispatch(a, b, variant: Variant, block, out_dtype):
         out_dtype = jnp.result_type(a.dtype, b.dtype)
     m, n, k = spec["shapes"](a, b)
     # float64 (CPU parity/oracle mode) and tiny problems go through XLA.
-    if jnp.dtype(a.dtype).itemsize > 4 or 2 * m * n * k < _SMALL_FLOPS:
+    # BLA_FORCE_XLA_MATMUL: escape hatch for SPMD-on-CPU dry runs, where
+    # interpret-mode Pallas lowers to io_callbacks that XLA cannot partition.
+    import os
+
+    if (jnp.dtype(a.dtype).itemsize > 4
+            or 2 * m * n * k < _SMALL_FLOPS
+            or os.environ.get("BLA_FORCE_XLA_MATMUL")):
         return _xla_mm(a, b, variant, out_dtype)
     return _pallas_mm(a, b, variant, block, out_dtype)
 
