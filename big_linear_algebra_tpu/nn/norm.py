@@ -26,7 +26,6 @@ in the U-Net resnet blocks.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
