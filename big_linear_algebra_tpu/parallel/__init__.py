@@ -17,3 +17,7 @@ from big_linear_algebra_tpu.parallel.sharding import (  # noqa: F401
     replicate,
     shard_params_tp,
 )
+from big_linear_algebra_tpu.parallel.pipeline import gpipe  # noqa: F401
+from big_linear_algebra_tpu.parallel.ring_attention import (  # noqa: F401
+    ring_attention,
+)
