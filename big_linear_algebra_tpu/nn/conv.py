@@ -33,6 +33,18 @@ import jax.numpy as jnp
 DIMS = ("NCHW", "OIHW", "NCHW")
 
 
+def _conv_precision(dtype):
+    """Same MXU input-precision policy as ops/matmul.py: f32 operands use
+    Precision.HIGHEST (multi-pass fp32 emulation — without it the TPU
+    truncates conv inputs to bf16, breaking the 1e-5 parity contract);
+    bf16 operands use the native fast path. Models that prefer speed over
+    f32-parity cast their activations/kernels to bf16 (e.g. the cifar_unet
+    ``compute_dtype`` config)."""
+    if jnp.dtype(dtype) == jnp.bfloat16:
+        return jax.lax.Precision.DEFAULT
+    return jax.lax.Precision.HIGHEST
+
+
 def same_padding(in_size: int, kernel: int, stride: int) -> Tuple[int, int]:
     """The reference's pad split (lib/conv.c:13-24): total =
     (ceil(in/s)−1)·s + k − in, lo = floor(total/2), hi = ceil(total/2)."""
@@ -55,6 +67,7 @@ def _fwd_conv(x, k, stride):
         dimension_numbers=DIMS,
         preferred_element_type=jnp.float32
         if x.dtype != jnp.float64 else jnp.float64,
+        precision=_conv_precision(x.dtype),
     ).astype(x.dtype)
 
 
@@ -82,6 +95,7 @@ def _dx_conv(g, k, stride, in_shape):
         dimension_numbers=DIMS,
         preferred_element_type=jnp.float32
         if g.dtype != jnp.float64 else jnp.float64,
+        precision=_conv_precision(g.dtype),
     ).astype(g.dtype)
 
 
@@ -103,6 +117,7 @@ def _dk_conv(x, g, stride, k_shape):
         dimension_numbers=DIMS,
         preferred_element_type=jnp.float32
         if x.dtype != jnp.float64 else jnp.float64,
+        precision=_conv_precision(x.dtype),
     )
     return out.transpose(1, 0, 2, 3).astype(x.dtype)  # (F, C, kh, kw)
 

@@ -67,10 +67,16 @@ def _denom(var, eps, reference_compat):
     return jnp.sqrt(var + eps)
 
 
+def _stat_dtype(dtype):
+    """Statistics accumulate in ≥f32 (bf16 mean/variance loses too much)."""
+    return dtype if jnp.dtype(dtype).itemsize >= 4 else jnp.float32
+
+
 def _gn_fwd_impl(x, group_size, eps, reference_compat):
-    mean, var = _group_stats(x, x.shape[-3], group_size)
+    xs = x.astype(_stat_dtype(x.dtype))
+    mean, var = _group_stats(xs, x.shape[-3], group_size)
     denom = _denom(var, eps, reference_compat)
-    return (x - mean) / denom, mean, var
+    return ((xs - mean) / denom).astype(x.dtype), mean, var
 
 
 def _group_mean(t, group_size):
@@ -93,8 +99,9 @@ def _group_norm_fwd(x, group_size, eps, reference_compat):
 
 def _group_norm_bwd(group_size, eps, reference_compat, res, g):
     x, mean, var = res
+    g = g.astype(_stat_dtype(x.dtype))
     denom = _denom(var, eps, reference_compat)
-    xhat = (x - mean) / denom
+    xhat = (x.astype(g.dtype) - mean) / denom
     g_mean = _group_mean(g, group_size)
     gx_mean = _group_mean(g * xhat, group_size)
     dx = (g - g_mean - xhat * gx_mean) / denom

@@ -76,6 +76,27 @@ def test_train_step_reduces_loss(rng):
     assert np.mean(losses[-10:]) < np.mean(losses[:10]), losses
 
 
+def test_bf16_compute_forward_and_learning(rng):
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, compute_dtype="bfloat16")
+    params = cu.init_params(jax.random.key(0), cfg)
+    x = jnp.asarray(rng.standard_normal((2, 3, 32, 32)), jnp.float32)
+    out = cu.forward(params, x, jnp.asarray([0, 5]), cfg)
+    assert out.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    opt = cu.adam_init(params)
+    key = jax.random.key(1)
+    losses = []
+    for _ in range(12):
+        key, k = jax.random.split(key)
+        params, opt, loss = cu.train_step(params, opt, x, k, cfg)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    # master params stay f32 under mixed precision
+    assert params["output_conv"].dtype == jnp.float32
+
+
 def test_csv_checkpoint_roundtrip(env_data_dir, rng):
     params = cu.init_params(jax.random.key(3), CFG)
     cu.save_params_csv(params, CFG)
