@@ -4,9 +4,11 @@ The reference computes conv as ``_im2col`` → kernel reshape → GEMM → resha
 (lib/conv.c:205-212) and its backward as two GEMMs + ``_col2im``
 (lib/conv.c:214-227). ``nn/conv.py`` is the production path (XLA implicit
 GEMM); this module is the same math materialized the reference's way, with
-the GEMMs on the library's Pallas MXU matmul — useful when a conv's GEMM
-shape benefits from the tuned kernel, and as a structural mirror of the
-reference for parity work.
+the GEMMs on the library's Pallas MXU matmul — a structural mirror of the
+reference for parity work. On hardware it is slower than the implicit-GEMM
+path at U-Net shapes (the im2col patches tensor makes an HBM round trip that
+implicit GEMM avoids entirely), which is exactly why ``nn/conv.py`` does not
+materialize im2col; keep this for parity/debugging.
 
 - ``im2col``: patch extraction with the reference's column ordering
   (c·k² + i·k + j, lib/conv.c:59-74), via lax.conv_general_dilated_patches.
