@@ -507,6 +507,34 @@ def train_chunk(params, opt_state: AdamState, xs, keys,
     return params, opt_state, losses
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",),
+                   donate_argnums=(0, 1))
+def epoch_step(params, opt_state: AdamState, data, perm, key,
+               cfg: Config = CONFIG):
+    """A whole epoch as one dispatch over a device-resident dataset.
+
+    ``data``: (N, 3, H, W) — transferred to HBM once, reused every epoch.
+    ``perm``: (n_batches·B,) int32 permutation for this epoch; batches are
+    gathered on device, so the host sends only the tiny index array per
+    epoch. Returns (params, opt_state, per-batch losses).
+    """
+    b = cfg.batch_size
+    n_batches = perm.shape[0] // b
+    xs = data[perm[: n_batches * b]].reshape(
+        n_batches, b, *data.shape[1:])
+
+    def body(carry, x0):
+        p, o, k = carry
+        k, ks = jax.random.split(k)
+        loss, grads = jax.value_and_grad(loss_fn)(p, x0, ks, cfg)
+        p, o = adam_update(p, grads, o, cfg.learn_rate)
+        return (p, o, k), loss
+
+    (params, opt_state, _), losses = jax.lax.scan(
+        body, (params, opt_state, key), xs)
+    return params, opt_state, losses
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "num_samples"))
 def sample(params, key, cfg: Config = CONFIG, num_samples: int = 1):
     """DDPM ancestral sampling (Ho et al. alg. 2) as one jitted
@@ -573,6 +601,34 @@ def train(num_epochs: int, *args, flags=None) -> None:
     key = jax.random.key(cfg.seed)
     max_steps = int(flags.get("max-steps") or 0)  # 0 = whole epoch
     scan_steps = int(flags.get("scan-steps") or 1)  # steps per dispatch
+    # Default full-epoch mode: ship the dataset to HBM once and run each
+    # epoch as a single device dispatch (host sends only a permutation).
+    data_bytes = data.num_examples * 3 * 32 * 32 * 4
+    device_epoch = (max_steps == 0 and scan_steps == 1
+                    and "host-loop" not in flags
+                    and data_bytes < (1 << 30))
+    if device_epoch:
+        from big_linear_algebra_tpu.data.cifar10 import pixels_to_chw
+
+        data_dev = jnp.asarray(pixels_to_chw(data.pixels))
+        for epoch in range(num_epochs):
+            t0 = time.perf_counter()
+            key, kep = jax.random.split(key)
+            perm = jnp.asarray(
+                rng.permutation(data.num_examples).astype(np.int32))
+            params, opt_state, losses = epoch_step(
+                params, opt_state, data_dev, perm, kep, cfg)
+            losses = np.asarray(losses)
+            dt = time.perf_counter() - t0
+            n = losses.size * cfg.batch_size
+            logger.log(epoch=epoch, avg_loss=float(losses.mean()),
+                       epoch_seconds=dt, images_per_sec=n / dt,
+                       step=int(opt_state.step))
+        save_params_csv(params, cfg)
+        ckpt_pytree.save_pytree(state_dir, int(opt_state.step),
+                                {"params": params, "opt": opt_state})
+        logger.close()
+        return
     for epoch in range(num_epochs):
         t0 = time.perf_counter()
         losses = []
