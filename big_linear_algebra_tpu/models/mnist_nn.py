@@ -179,6 +179,32 @@ def eval_batch(params, x, onehot, mask, cfg: Config = CONFIG):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def epoch_step_resident(params, x_dev, y_dev, perm, cfg: Config = CONFIG):
+    """A whole epoch against a device-resident dataset: the host sends only
+    the epoch permutation. ``x_dev``: (N, 784) raw 0-255 pixels on device;
+    ``y_dev``: (N,) labels; ``perm``: (n_batches·B,) int32, −1 = padding
+    (ragged last batch mask)."""
+    b = cfg.batch_size
+    n_batches = perm.shape[0] // b
+    idx = perm.reshape(n_batches, b)
+
+    def body(p, batch_idx):
+        safe = jnp.clip(batch_idx, 0, x_dev.shape[0] - 1)
+        x = x_dev[safe] / 255.0
+        onehot = jax.nn.one_hot(y_dev[safe].astype(jnp.int32), cfg.layer_3,
+                                dtype=jnp.float32)
+        mask = (batch_idx >= 0).astype(jnp.float32)
+        (_, (correct, ce_sum)), grads = jax.value_and_grad(
+            loss_and_metrics, has_aux=True)(p, x, onehot, mask, cfg)
+        grads = jax.tree.map(lambda g: _clip(g, cfg.grad_clip), grads)
+        p = jax.tree.map(lambda w, g: w - cfg.learn_rate * g, p, grads)
+        return p, (correct, ce_sum)
+
+    params, (corrects, ces) = jax.lax.scan(body, params, idx)
+    return params, jnp.sum(corrects), jnp.sum(ces)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def epoch_step(params, xs, onehots, masks, cfg: Config = CONFIG):
     """A whole epoch as one jitted lax.scan over pre-stacked batches.
 
@@ -247,11 +273,25 @@ def train(num_epochs: int, *args, flags=None, cfg: Config = CONFIG) -> None:
         params = jax.device_put(params, p_sharding)
 
     fused = "per-batch" not in (flags or {})  # --per-batch: reference-style
+    x_dev = y_dev = None
+    if fused and x_sharding is None:
+        # dataset to HBM once; each epoch ships only a permutation
+        x_dev = jnp.asarray(data.x, jnp.float32)
+        y_dev = jnp.asarray(data.y, jnp.float32)
     for epoch in range(num_epochs):
         t0 = time.perf_counter()
-        if fused:
-            # one dispatch per epoch: stack every (padded+masked) batch and
-            # lax.scan over them on device
+        if fused and x_dev is not None:
+            n = data.num_examples
+            b = cfg.batch_size
+            padded = -(-n // b) * b
+            perm = np.full(padded, -1, np.int32)
+            perm[:n] = rng.permutation(n).astype(np.int32)
+            params, correct, ce_sum = epoch_step_resident(
+                params, x_dev, y_dev, jnp.asarray(perm), cfg)
+            correct_sum, loss_sum = float(correct), float(ce_sum)
+        elif fused:
+            # DP mode: stack every (padded+masked) batch with the batch dim
+            # sharded over the mesh, one lax.scan dispatch per epoch
             batches = [
                 _make_batch(xb, yb, cfg.batch_size, cfg.layer_3)
                 for xb, yb in data.epoch_batches(rng, cfg.batch_size)
@@ -259,13 +299,11 @@ def train(num_epochs: int, *args, flags=None, cfg: Config = CONFIG) -> None:
             xs = np.stack([b[0] for b in batches])
             onehots = np.stack([b[1] for b in batches])
             masks = np.stack([b[2] for b in batches])
-            if x_sharding is not None:
-                # shard the batch dim (axis 1) of the stacked arrays
-                from jax.sharding import PartitionSpec as P, NamedSharding
-                mesh = x_sharding.mesh
-                stacked = NamedSharding(mesh, P(None, "data"))
-                xs, onehots, masks = (jax.device_put(a, stacked)
-                                      for a in (xs, onehots, masks))
+            from jax.sharding import PartitionSpec as P, NamedSharding
+            mesh = x_sharding.mesh
+            stacked = NamedSharding(mesh, P(None, "data"))
+            xs, onehots, masks = (jax.device_put(a, stacked)
+                                  for a in (xs, onehots, masks))
             params, correct, ce_sum = epoch_step(
                 params, jnp.asarray(xs), jnp.asarray(onehots),
                 jnp.asarray(masks), cfg)

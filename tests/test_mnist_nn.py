@@ -170,6 +170,45 @@ def test_epoch_step_matches_per_batch(rng):
                                    atol=1e-6, err_msg=k)
 
 
+def test_epoch_step_resident_matches_per_batch(rng):
+    """Device-resident epoch (perm gather on device) == sequential steps,
+    including the ragged-tail mask."""
+    cfg = mnist_nn.Config(learn_rate=0.5)
+    params = mnist_nn.init_params(jax.random.key(3), cfg)
+    n = 150  # not a multiple of 64 -> ragged tail
+    x = (rng.random((n, 784)) * 255).astype(np.float32)
+    y = rng.integers(0, 10, n).astype(np.float32)
+    perm_np = rng.permutation(n).astype(np.int32)
+    padded = -(-n // 64) * 64
+    perm = np.full(padded, -1, np.int32)
+    perm[:n] = perm_np
+
+    p_seq = jax.tree.map(jnp.copy, params)
+    tot_c = tot_l = 0.0
+    for start in range(0, padded, 64):
+        idx = perm[start:start + 64]
+        xb = x[np.clip(idx, 0, n - 1)]
+        yb = y[np.clip(idx, 0, n - 1)]
+        xq, onehot, mask = mnist_nn._make_batch(xb, yb, 64, 10)
+        mask = (idx >= 0).astype(np.float32)
+        onehot = onehot * mask[:, None]
+        p_seq, c, l = mnist_nn.train_step(
+            p_seq, jnp.asarray(xq), jnp.asarray(onehot), jnp.asarray(mask),
+            cfg)
+        tot_c += float(c)
+        tot_l += float(l)
+
+    p_res, c_res, l_res = mnist_nn.epoch_step_resident(
+        jax.tree.map(jnp.copy, params), jnp.asarray(x), jnp.asarray(y),
+        jnp.asarray(perm), cfg)
+    assert float(c_res) == tot_c
+    np.testing.assert_allclose(float(l_res), tot_l, rtol=1e-5)
+    for k in p_seq:
+        np.testing.assert_allclose(np.asarray(p_res[k]),
+                                   np.asarray(p_seq[k]), rtol=1e-4,
+                                   atol=1e-6, err_msg=k)
+
+
 def test_csv_checkpoint_roundtrip(tmp_path, rng):
     params = mnist_nn.init_params(jax.random.key(1))
     mnist_nn.save_params_csv(params, base=tmp_path)
