@@ -95,27 +95,33 @@ def train(iterations: int, learn_rate: str = None, should_output: str = "1",
         print("no checkpoint found; initializing")
         init()
     params = load_params()
-    step = layer_graph.make_sgd_step(ACTS)
+    # Stage the streamed examples (file order, wrapping at EOF — the
+    # reference's fgetc stream, lib/mnist_csv.c:6) and run all per-example
+    # SGD steps in one device dispatch.
     stream = MnistCSVStream(train_csv)
-    prev_costs = np.zeros(WINDOW)
+    xs = np.zeros((iterations, 784), np.float32)
+    ys = np.zeros((iterations, 10), np.float32)
     for i in range(iterations):
         if not stream.get_next_data():           # wrap at EOF
             stream.close()
             stream = MnistCSVStream(train_csv)
             stream.get_next_data()
-        label = int(stream.buffer[0])
-        x = jnp.asarray(stream.buffer[1:] / 255.0)
-        y = jnp.zeros(10, jnp.float32).at[label].set(1.0)
-        prev_costs[i % WINDOW] = float(layer_graph.cost(params, ACTS, x, y))
-        params = step(params, x, y, lr)
-        if should_output and i % WINDOW == WINDOW - 1:
-            print(f"Last {WINDOW} costs:")
-            for j, c in enumerate(prev_costs):
-                print(f"\tCost[{j}]: {c:.3f}")
-            print(f"\tAvg: {prev_costs.mean():.3f}")
-    if not should_output:
-        print(f"Final batch avg: {prev_costs.mean():.3f}")
+        xs[i] = stream.buffer[1:] / 255.0
+        ys[i, int(stream.buffer[0])] = 1.0
     stream.close()
+    run_scan = layer_graph.make_sgd_scan(ACTS)
+    params, costs = run_scan(params, jnp.asarray(xs), jnp.asarray(ys), lr)
+    costs = np.asarray(costs)
+    prev_costs = costs[max(0, iterations - WINDOW):]
+    if should_output:
+        for i in range(WINDOW - 1, iterations, WINDOW):
+            win = costs[i - WINDOW + 1:i + 1]
+            print(f"Last {WINDOW} costs:")
+            for j, c in enumerate(win):
+                print(f"\tCost[{j}]: {c:.3f}")
+            print(f"\tAvg: {win.mean():.3f}")
+    else:
+        print(f"Final batch avg: {prev_costs.mean():.3f}")
     save_params(params)
     print("Finished training")
 

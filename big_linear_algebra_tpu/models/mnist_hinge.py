@@ -82,6 +82,25 @@ def _train_iteration(w, x, labels, lr):
     return w - lr * grads, norms
 
 
+@functools.partial(jax.jit, static_argnames=("n_iters",),
+                   donate_argnums=(0,))
+def _train_chunk(w, x, labels, lr, n_iters: int = 10):
+    """n_iters full-batch iterations in one dispatch (the reference logs and
+    checks convergence every 10 iterations, :152,168 — the host only needs
+    to see norms at that cadence). Returns (w, norms history (n_iters, 10))."""
+    n = x.shape[0]
+    y = jnp.where(jax.nn.one_hot(labels, 10, dtype=x.dtype) > 0, 1.0, -1.0)
+
+    def body(w, _):
+        margins = y * (x @ w)
+        viol = (margins < 1.0).astype(x.dtype)
+        grads = -(x.T @ (viol * y))
+        norms = jnp.sqrt(jnp.sum(grads * grads, axis=0)) / n
+        return w - lr * grads, norms
+
+    return jax.lax.scan(body, w, None, length=n_iters)
+
+
 def train(iterations: int, learn_rate: str = None, *args, flags=None):
     if learn_rate is None:
         print("Please supply a number of iterations and a learn rate, "
@@ -96,15 +115,20 @@ def train(iterations: int, learn_rate: str = None, *args, flags=None):
     data = MnistDataset.from_csv(train_csv)
     x = jnp.asarray(data.x / 255.0)             # matrix_scale 1/255 (:125)
     labels = jnp.asarray(data.y.astype(np.int32))
-    for i in range(iterations):
-        w, norms = _train_iteration(w, x, labels, lr)
-        norms = np.asarray(norms)
-        if i % 10 == 9:                         # logUpdate (:152)
-            print(f"Gradient norms after iteration {i}:")
-            for j, nv in enumerate(norms):
+    i = 0
+    while i < iterations:
+        chunk = min(10, iterations - i)         # convergence cadence (:152)
+        w, norms_hist = _train_chunk(w, x, labels, lr, chunk)
+        norms_hist = np.asarray(norms_hist)
+        i += chunk
+        if (i % 10 == 0) or i == iterations:    # logUpdate (:152)
+            print(f"Gradient norms after iteration {i - 1}:")
+            for j, nv in enumerate(norms_hist[-1]):
                 print(f"\tModel {j}: {nv:.5f}")
-        if norms.sum() < EPSILON:               # (:168-171)
-            print(f"Gradient converged < epsilon after iteration {i}")
+        sums = norms_hist.sum(axis=1)
+        if (sums < EPSILON).any():              # (:168-171)
+            conv = i - chunk + int(np.argmax(sums < EPSILON))
+            print(f"Gradient converged < epsilon after iteration {conv}")
             break
     save_weights(w)
     print("Finished training")

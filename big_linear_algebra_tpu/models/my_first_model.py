@@ -66,6 +66,10 @@ def init(flags=None, seed: int = 42):
         params.append((uniform_init(kw, shape_w),
                        jnp.full(shape_b, 0.1, jnp.float32)))
     save_params(params)
+    # default run input (the reference ships one in data/my_first_model/)
+    input_path = ckpt_dir() / "input_nodes.csv"
+    if not input_path.is_file():
+        write_csv_matrix(str(input_path), np.array([[0.5, 0.5]], np.float32))
     print(f"initialized parameters in {ckpt_dir()}")
 
 
@@ -90,21 +94,23 @@ def train(iterations: int, learn_rate: str = None, *args, flags=None):
         print("no checkpoint found; initializing")
         init()
     params = load_params()
-    step = layer_graph.make_sgd_step(ACTS)
     rng = np.random.default_rng(42)
     window = 20  # report_costs_every_n, model/my_first_model.c:69
-    prev_costs = np.zeros(window)
+    # pre-generate the synthetic stream, run all online-SGD steps in one
+    # dispatch (identical example order/semantics to the per-step loop)
+    xs = np.zeros((iterations, 2), np.float32)
+    ys = np.zeros((iterations, 2), np.float32)
     for i in range(iterations):
-        x, y = _synth_example(rng, i)
-        xj, yj = jnp.asarray(x), jnp.asarray(y)
-        prev_costs[i % window] = float(
-            layer_graph.cost(params, ACTS, xj, yj))
-        params = step(params, xj, yj, lr)
-        if i % window == window - 1:
-            print(f"Last {window} costs:")
-            for j, c in enumerate(prev_costs):
-                print(f"\tCost[{j}]: {c:.3f}")
-            print(f"\tAvg: {prev_costs.mean():.3f}")
+        xs[i], ys[i] = _synth_example(rng, i)
+    run_scan = layer_graph.make_sgd_scan(ACTS)
+    params, costs = run_scan(params, jnp.asarray(xs), jnp.asarray(ys), lr)
+    costs = np.asarray(costs)
+    for i in range(window - 1, iterations, window):
+        prev_costs = costs[i - window + 1:i + 1]
+        print(f"Last {window} costs:")
+        for j, c in enumerate(prev_costs):
+            print(f"\tCost[{j}]: {c:.3f}")
+        print(f"\tAvg: {prev_costs.mean():.3f}")
     save_params(params)
     print("Finished training")
 

@@ -115,3 +115,25 @@ def make_sgd_step(activations: Sequence[str]):
         return sgd_step(params, acts, x, y, lr)
 
     return step
+
+
+def make_sgd_scan(activations: Sequence[str]):
+    """Many per-example SGD steps in one dispatch:
+    ``run(params, xs (T, in), ys (T, out), lr) -> (params, costs (T,))``.
+
+    Semantically identical to T sequential ``sgd_step`` calls (online SGD in
+    example order); each cost is the pre-update squared error, matching the
+    reference's logging (model/my_first_model.c:102-105 computes the cost
+    from the forward pass it then backprops)."""
+    acts = tuple(activations)
+
+    @jax.jit
+    def run(params, xs, ys, lr):
+        def body(p, xy):
+            x, y = xy
+            c = cost(p, acts, x, y)
+            return sgd_step(p, acts, x, y, lr), c
+
+        return jax.lax.scan(body, params, (xs, ys))
+
+    return run
