@@ -108,13 +108,13 @@ def bench_xla_matmul():
         lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32))
 
 
-def bench_flash_attention(b=4, n=4096, d=128):
+def bench_flash_attention(b=4, n=4096, d=128, dtype=jnp.bfloat16):
     from big_linear_algebra_tpu.nn.attention import flash_attention
 
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
-    v = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((b, n, d)), dtype)
+    k = jnp.asarray(rng.standard_normal((b, n, d)), dtype)
+    v = jnp.asarray(rng.standard_normal((b, n, d)), dtype)
     jax.block_until_ready((q, k, v))
 
     def make_chain(iters):
@@ -128,7 +128,7 @@ def bench_flash_attention(b=4, n=4096, d=128):
         compiled = chain.lower(q, k, v).compile()
         return lambda: compiled(q, k, v)
 
-    dt = _slope_time(make_chain, n1=2, n2=10, reps=3)
+    dt = _slope_time(make_chain, n1=8, n2=72, reps=3)
     return 4 * b * n * n * d / dt  # 2 GEMMs of 2·n²·d each
 
 

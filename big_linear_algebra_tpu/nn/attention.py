@@ -88,29 +88,43 @@ attention_dense.defvjp(_attention_dense_fwd, _attention_dense_bwd)
 # ---------------------------------------------------------------------------
 
 
+def _mxu_precision(dtype):
+    """bf16 operands: native MXU path; f32: HIGHEST (no silent bf16
+    truncation) — the same policy as ops/matmul.py."""
+    if jnp.dtype(dtype) == jnp.bfloat16:
+        return jax.lax.Precision.DEFAULT
+    return jax.lax.Precision.HIGHEST
+
+
 def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
                       scale, block_k, n_valid):
-    q = q_ref[0].astype(jnp.float32)                   # (bq, d)
+    q = q_ref[0]                                       # (bq, d), native dtype
+    in_dtype = q.dtype
+    prec = _mxu_precision(in_dtype)
     bq = q.shape[0]
     n_pad = k_ref.shape[1]
     n_blocks = n_pad // block_k
 
     def body(j, carry):
         m, l, acc = carry
-        kb = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        vb = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        kb = k_ref[0, pl.ds(j * block_k, block_k), :]
+        vb = v_ref[0, pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, kb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale   # (bq, bk)
+            preferred_element_type=jnp.float32,
+            precision=prec) * scale                     # (bq, bk) f32
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
         s = jnp.where(col < n_valid, s, -jnp.inf)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        # PV on the MXU in the input dtype (standard flash practice: bf16
+        # probabilities for bf16 inputs; f32 accumulation either way)
         acc = acc * alpha + jax.lax.dot_general(
-            p, vb, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            p.astype(in_dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec)
         return m_new, l, acc
 
     m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
@@ -125,58 +139,70 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
 
 def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
                          dq_ref, *, scale, block_k, n_valid):
-    q = q_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    g = g_ref[0]
+    in_dtype = q.dtype
+    prec = _mxu_precision(in_dtype)
     lse = lse_ref[0, :, 0:1]
     delta = delta_ref[0, :, 0:1]
     n_pad = k_ref.shape[1]
 
     def body(j, dq):
-        kb = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        vb = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        kb = k_ref[0, pl.ds(j * block_k, block_k), :]
+        vb = v_ref[0, pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32,
+                                precision=prec) * scale
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
         p = jnp.where(col < n_valid, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(g, vb, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)
+        ds = (p * (dp - delta)).astype(in_dtype)
         return dq + jax.lax.dot_general(
             ds, kb, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=jnp.float32,
+            precision=prec) * scale
 
-    dq0 = jnp.zeros_like(q)
+    dq0 = jnp.zeros((q.shape[0], q.shape[1]), jnp.float32)
     dq = jax.lax.fori_loop(0, n_pad // block_k, body, dq0)
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
 def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
                           dk_ref, dv_ref, *, scale, block_q, n_valid):
-    kb = k_ref[0].astype(jnp.float32)                  # (bk, d)
-    vb = v_ref[0].astype(jnp.float32)
+    kb = k_ref[0]                                      # (bk, d)
+    vb = v_ref[0]
+    in_dtype = kb.dtype
+    prec = _mxu_precision(in_dtype)
     n_pad = q_ref.shape[1]
 
     def body(i, carry):
         dk, dv = carry
-        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        g = g_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(i * block_q, block_q), :]
+        g = g_ref[0, pl.ds(i * block_q, block_q), :]
         lse = lse_ref[0, pl.ds(i * block_q, block_q), 0:1]
         delta = delta_ref[0, pl.ds(i * block_q, block_q), 0:1]
         s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32,
+                                precision=prec) * scale
         row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * block_q
         p = jnp.where(row < n_valid, jnp.exp(s - lse), 0.0)
-        dv = dv + jax.lax.dot_general(p, g, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+        dv = dv + jax.lax.dot_general(p.astype(in_dtype), g,
+                                      (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32,
+                                      precision=prec)
         dp = jax.lax.dot_general(g, vb, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)
+        ds = (p * (dp - delta)).astype(in_dtype)
         dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32) * scale
+                                      preferred_element_type=jnp.float32,
+                                      precision=prec) * scale
         return dk, dv
 
-    dk0 = jnp.zeros_like(kb)
-    dv0 = jnp.zeros_like(vb)
+    dk0 = jnp.zeros(kb.shape, jnp.float32)
+    dv0 = jnp.zeros(vb.shape, jnp.float32)
     dk, dv = jax.lax.fori_loop(0, n_pad // block_q, body, (dk0, dv0))
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
