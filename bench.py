@@ -103,21 +103,54 @@ def bench_pallas_matmul(block=None):
             blk=block))
 
 
-def bench_pallas_matmul_kernel(m=4096, iters=16):
-    """Kernel-only throughput from a device profile trace.
-
-    The chained harness adds an unfused bf16 convert between iterations
-    (~0.05 ms/iter) that XLA's dot fuses into its epilogue — so the chain
-    number under-reports the kernel by ~6%. This profiles one chained
-    execution and reads the Pallas kernel's own device duration out of the
-    trace. Returns FLOP/s, or None if profiling is unavailable.
+def _kernel_time_from_trace(run_once, iters):
+    """Total device time (seconds) of the dominant per-iteration kernel in a
+    profiled execution: the largest-total-duration event that occurs exactly
+    ``iters`` times (excluding converts). None if profiling is unavailable.
     """
+    import collections
     import glob
     import gzip
     import json
     import shutil
     import tempfile
 
+    tmp = tempfile.mkdtemp(prefix="bla_prof_")
+    try:
+        with jax.profiler.trace(tmp):
+            run_once()
+        paths = glob.glob(f"{tmp}/**/*.trace.json.gz", recursive=True)
+        if not paths:
+            return None
+        with gzip.open(paths[0]) as f:
+            events = json.load(f).get("traceEvents", [])
+        agg = collections.Counter()
+        cnt = collections.Counter()
+        for e in events:
+            if e.get("ph") == "X" and "dur" in e:
+                agg[e["name"]] += e["dur"]
+                cnt[e["name"]] += 1
+        candidates = [
+            (dur, name) for name, dur in agg.items()
+            if cnt[name] == iters and "convert" not in name.lower()
+        ]
+        if not candidates:
+            return None
+        dur_us, _ = max(candidates)
+        return dur_us * 1e-6
+    except Exception:
+        return None
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bench_pallas_matmul_kernel(m=4096, iters=16):
+    """Kernel-only matmul throughput from a device profile trace.
+
+    The chained harness adds an unfused bf16 convert between iterations
+    (~0.05 ms/iter) that XLA's dot fuses into its epilogue — so the chain
+    number under-reports the kernel by ~6%. Returns FLOP/s or None.
+    """
     from big_linear_algebra_tpu.ops.matmul import _pallas_mm
 
     rng = np.random.default_rng(0)
@@ -133,36 +166,30 @@ def bench_pallas_matmul_kernel(m=4096, iters=16):
             jnp.float32))
 
     float(chain(a, b))  # warm
-    tmp = tempfile.mkdtemp(prefix="bla_prof_")
-    try:
-        with jax.profiler.trace(tmp):
-            float(chain(a, b))
-        paths = glob.glob(f"{tmp}/**/*.trace.json.gz", recursive=True)
-        if not paths:
-            return None
-        with gzip.open(paths[0]) as f:
-            events = json.load(f).get("traceEvents", [])
-        # the kernel is the dominant device event appearing `iters` times
-        import collections
+    dt = _kernel_time_from_trace(lambda: float(chain(a, b)), iters)
+    return 2 * m ** 3 * iters / dt if dt else None
 
-        agg = collections.Counter()
-        cnt = collections.Counter()
-        for e in events:
-            if e.get("ph") == "X" and "dur" in e:
-                agg[e["name"]] += e["dur"]
-                cnt[e["name"]] += 1
-        candidates = [
-            (dur, name) for name, dur in agg.items()
-            if cnt[name] == iters and "convert" not in name.lower()
-        ]
-        if not candidates:
-            return None
-        dur_us, _ = max(candidates)
-        return 2 * m ** 3 * iters / (dur_us * 1e-6)
-    except Exception:
-        return None
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+
+def bench_flash_attention_kernel(b=4, n=4096, d=128, iters=16,
+                                 dtype=jnp.bfloat16):
+    """Kernel-only flash-attention forward throughput (device trace)."""
+    from big_linear_algebra_tpu.nn.attention import flash_attention
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, n, d)), dtype)
+    k = jnp.asarray(rng.standard_normal((b, n, d)), dtype)
+    v = jnp.asarray(rng.standard_normal((b, n, d)), dtype)
+
+    @jax.jit
+    def chain(q, k, v):
+        def body(_, vv):
+            return flash_attention(q, k, vv)
+        return jnp.sum(jax.lax.fori_loop(0, iters, body, v).astype(
+            jnp.float32))
+
+    float(chain(q, k, v))  # warm
+    dt = _kernel_time_from_trace(lambda: float(chain(q, k, v)), iters)
+    return 4 * b * n * n * d * iters / dt if dt else None
 
 
 def bench_xla_matmul():
@@ -238,8 +265,8 @@ def main():
     }
     try:
         extras["xla_matmul_bf16_gflops"] = round(bench_xla_matmul() / 1e9, 1)
-        extras["flash_attention_bf16_gflops"] = round(
-            bench_flash_attention() / 1e9, 1)
+        flash = bench_flash_attention_kernel() or bench_flash_attention()
+        extras["flash_attention_bf16_gflops"] = round(flash / 1e9, 1)
         extras["mnist_nn_images_per_sec"] = round(bench_mnist_nn(), 1)
     except Exception as e:  # pragma: no cover - keep the primary metric alive
         extras["extras_error"] = repr(e)
