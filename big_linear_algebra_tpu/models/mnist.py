@@ -16,6 +16,15 @@ Intended-semantics deviations (SURVEY.md §7.7-7.8, policy §7):
 - ``run``'s digit visualizer receives 1/255-scaled pixels (the reference
   visualizes unscaled values against 0-1 thresholds, §7.14)
 
+Fidelity note: this model's learning dynamics are faithfully *weak* — the
+reference's uniform(−0.5, 0.5) init saturates the 784-input first layer
+(pre-activation std ≈ 8) and the deliberate diagonal softmax Jacobian
+vanishes on saturated outputs, so accuracy stays near chance. That matches
+the reference's own status: the legacy Layer-path models are commented out
+of its build (build.sh:4-7, SURVEY.md §0) and superseded by mnist_nn, and no
+trained data/mnist/ weights ship upstream. The capability (per-example
+streaming SGD through the Layer graph) is what is ported and tested.
+
 CSV layout (reference data/mnist/): hidden_weights.csv (200, 784),
 hidden_weights_2.csv (200, 200), output_weights.csv (10, 200), and one-line
 bias files. (The reference's *save* path writes hidden_weights_2 with a
