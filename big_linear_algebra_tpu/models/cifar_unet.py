@@ -599,6 +599,16 @@ def train(num_epochs: int, *args, flags=None) -> None:
     logger = common.MetricsLogger(flags.get("jsonl") or None)
     rng = np.random.default_rng(cfg.seed)
     key = jax.random.key(cfg.seed)
+    batch_shard = None
+    if "dp" in flags and len(jax.devices()) > 1:
+        from big_linear_algebra_tpu.parallel import (batch_sharding,
+                                                     default_mesh, replicate)
+
+        mesh = default_mesh()
+        params = jax.device_put(params, replicate(mesh))
+        opt_state = jax.tree.map(
+            lambda x: jax.device_put(x, replicate(mesh)), opt_state)
+        batch_shard = batch_sharding(mesh)
     max_steps = int(flags.get("max-steps") or 0)  # 0 = whole epoch
     scan_steps = int(flags.get("scan-steps") or 1)  # steps per dispatch
     # Default full-epoch mode: ship the dataset to HBM once and run each
@@ -611,6 +621,8 @@ def train(num_epochs: int, *args, flags=None) -> None:
         from big_linear_algebra_tpu.data.cifar10 import pixels_to_chw
 
         data_dev = jnp.asarray(pixels_to_chw(data.pixels))
+        if batch_shard is not None:  # DP: examples sharded over the mesh
+            data_dev = jax.device_put(data_dev, batch_shard)
         for epoch in range(num_epochs):
             t0 = time.perf_counter()
             key, kep = jax.random.split(key)
@@ -648,8 +660,11 @@ def train(num_epochs: int, *args, flags=None) -> None:
                     chunk = []
             else:
                 key, kstep = jax.random.split(key)
+                x0 = jnp.asarray(imgs)
+                if batch_shard is not None:
+                    x0 = jax.device_put(x0, batch_shard)
                 params, opt_state, loss = train_step(
-                    params, opt_state, jnp.asarray(imgs), kstep, cfg)
+                    params, opt_state, x0, kstep, cfg)
                 losses.append(loss)
         for imgs in chunk:  # ragged tail: per-step path
             key, kstep = jax.random.split(key)
