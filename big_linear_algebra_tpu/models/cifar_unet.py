@@ -61,6 +61,7 @@ from big_linear_algebra_tpu.nn import (
 )
 from big_linear_algebra_tpu.nn.optim import AdamState, adam_init, adam_update
 from big_linear_algebra_tpu.ops import relu
+from big_linear_algebra_tpu.parallel import spmd
 
 
 @dataclasses.dataclass(frozen=True)
@@ -535,6 +536,76 @@ def epoch_step(params, opt_state: AdamState, data, perm, key,
     return params, opt_state, losses
 
 
+# ---------------------------------------------------------------------------
+# SPMD (shard_map) training. Written per-shard so the Pallas kernels inside
+# the forward (attention/GEMMs) run on each device's local batch block, with
+# explicit pmean gradient all-reduce over ICI (SURVEY.md §2.4 DP row).
+# ---------------------------------------------------------------------------
+
+
+def _local_grad_step(params, opt_state, x0, key, cfg, axis):
+    """Per-shard body shared by the DP step/epoch: per-shard DDPM noise draw
+    (key folded by mesh position), local grads, pmean all-reduce (loss_fn is
+    a local mean), replicated Adam update."""
+    key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+    loss, grads = jax.value_and_grad(loss_fn)(params, x0, key, cfg)
+    grads = spmd.pmean_tree(grads, axis)
+    loss = jax.lax.pmean(loss, axis)
+    params, opt_state = adam_update(params, grads, opt_state, cfg.learn_rate)
+    return params, opt_state, loss
+
+
+def make_train_step_dp(mesh, cfg: Config = CONFIG, axis: str = "data"):
+    """DP train step over ``mesh``: x0 batch-sharded, params/opt replicated.
+    Statistically identical to ``train_step`` at the same global batch (each
+    shard draws its own timesteps/noise — RNG trajectories differ, as they
+    must; SURVEY.md §8.2)."""
+    from jax.sharding import PartitionSpec as P
+
+    def local_step(params, opt_state, x0, key):
+        return _local_grad_step(params, opt_state, x0, key, cfg, axis)
+
+    fn = spmd.shard_map_fn(local_step, mesh,
+                           in_specs=(P(), P(), P(axis), P()),
+                           out_specs=(P(), P(), P()))
+    return jax.jit(fn, donate_argnums=(0, 1))
+
+
+def make_epoch_step_dp(mesh, cfg: Config = CONFIG, axis: str = "data"):
+    """DP variant of ``epoch_step``: dataset replicated per device (CIFAR is
+    120 MB — one HBM transfer), per-step batch slices gathered locally by
+    mesh position, grads pmean'd inside one lax.scan dispatch per epoch."""
+    from jax.sharding import PartitionSpec as P
+
+    ndev = mesh.shape[axis]
+    if cfg.batch_size % ndev:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} not divisible by {ndev} devices")
+    b_local = cfg.batch_size // ndev
+
+    def local_epoch(params, opt_state, data, perm, key):
+        r = jax.lax.axis_index(axis)
+        n_batches = perm.shape[0] // cfg.batch_size
+        idx = perm[: n_batches * cfg.batch_size].reshape(
+            n_batches, ndev, b_local)
+
+        def body(carry, batch_idx_all):
+            p, o, k = carry
+            k, ks = jax.random.split(k)
+            x0 = data[batch_idx_all[r]]
+            p, o, loss = _local_grad_step(p, o, x0, ks, cfg, axis)
+            return (p, o, k), loss
+
+        (params, opt_state, _), losses = jax.lax.scan(
+            body, (params, opt_state, key), idx)
+        return params, opt_state, losses
+
+    fn = spmd.shard_map_fn(local_epoch, mesh,
+                           in_specs=(P(), P(), P(), P(), P()),
+                           out_specs=(P(), P(), P()))
+    return jax.jit(fn, donate_argnums=(0, 1))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "num_samples"))
 def sample(params, key, cfg: Config = CONFIG, num_samples: int = 1):
     """DDPM ancestral sampling (Ho et al. alg. 2) as one jitted
@@ -590,25 +661,40 @@ def train(num_epochs: int, *args, flags=None) -> None:
         params = init_params(jax.random.key(cfg.seed), cfg)
     opt_state = adam_init(params)
     state_dir = str(ckpt_dir() / "train_state")
+    # Async checkpoint manager: per-epoch saves overlap training, keep-last-k
+    # retention (--keep=k, 0 = unbounded), optional best-k by loss
+    # (--keep-best). SURVEY.md §5 failure-recovery row.
+    keep = int(flags.get("keep") or 3) or None
+    manager = ckpt_pytree.TrainCheckpointer(
+        state_dir, max_to_keep=keep,
+        best_metric="loss" if "keep-best" in flags else None)
+    target = {"params": params, "opt": opt_state}
     step0 = ckpt_pytree.latest_step(state_dir)
     if step0 is not None:
-        restored = ckpt_pytree.restore_pytree(
-            state_dir, {"params": params, "opt": opt_state})
+        try:
+            restored = manager.restore(target, step=step0)
+        except Exception:
+            # checkpoints written by the pre-manager save_pytree layout
+            restored = ckpt_pytree.restore_pytree(state_dir, target,
+                                                  step=step0)
         params, opt_state = restored["params"], AdamState(*restored["opt"])
         print(f"resumed train state at step {int(opt_state.step)}")
     logger = common.MetricsLogger(flags.get("jsonl") or None)
     rng = np.random.default_rng(cfg.seed)
     key = jax.random.key(cfg.seed)
-    batch_shard = None
-    if "dp" in flags and len(jax.devices()) > 1:
-        from big_linear_algebra_tpu.parallel import (batch_sharding,
-                                                     default_mesh, replicate)
+    dp_mesh = None
+    if "dp" in flags:
+        from big_linear_algebra_tpu.parallel import default_mesh
 
         mesh = default_mesh()
-        params = jax.device_put(params, replicate(mesh))
-        opt_state = jax.tree.map(
-            lambda x: jax.device_put(x, replicate(mesh)), opt_state)
-        batch_shard = batch_sharding(mesh)
+        if mesh.devices.size > 1:
+            if cfg.batch_size % mesh.devices.size:
+                raise SystemExit(
+                    f"--dp: batch size {cfg.batch_size} is not divisible "
+                    f"by {mesh.devices.size} devices")
+            dp_mesh = mesh
+        else:
+            print("--dp: single device, running unsharded")
     max_steps = int(flags.get("max-steps") or 0)  # 0 = whole epoch
     scan_steps = int(flags.get("scan-steps") or 1)  # steps per dispatch
     # Default full-epoch mode: ship the dataset to HBM once and run each
@@ -621,26 +707,35 @@ def train(num_epochs: int, *args, flags=None) -> None:
         from big_linear_algebra_tpu.data.cifar10 import pixels_to_chw
 
         data_dev = jnp.asarray(pixels_to_chw(data.pixels))
-        if batch_shard is not None:  # DP: examples sharded over the mesh
-            data_dev = jax.device_put(data_dev, batch_shard)
+        epoch_dp = (make_epoch_step_dp(dp_mesh, cfg)
+                    if dp_mesh is not None else None)
         for epoch in range(num_epochs):
             t0 = time.perf_counter()
             key, kep = jax.random.split(key)
             perm = jnp.asarray(
                 rng.permutation(data.num_examples).astype(np.int32))
-            params, opt_state, losses = epoch_step(
-                params, opt_state, data_dev, perm, kep, cfg)
+            if epoch_dp is not None:
+                params, opt_state, losses = epoch_dp(
+                    params, opt_state, data_dev, perm, kep)
+            else:
+                params, opt_state, losses = epoch_step(
+                    params, opt_state, data_dev, perm, kep, cfg)
             losses = np.asarray(losses)
             dt = time.perf_counter() - t0
             n = losses.size * cfg.batch_size
             logger.log(epoch=epoch, avg_loss=float(losses.mean()),
                        epoch_seconds=dt, images_per_sec=n / dt,
                        step=int(opt_state.step))
+            # async: serialization overlaps the next epoch's compute
+            manager.save(int(opt_state.step),
+                         {"params": params, "opt": opt_state},
+                         metrics={"loss": float(losses.mean())})
         save_params_csv(params, cfg)
-        ckpt_pytree.save_pytree(state_dir, int(opt_state.step),
-                                {"params": params, "opt": opt_state})
+        manager.wait()
+        manager.close()
         logger.close()
         return
+    step_dp = make_train_step_dp(dp_mesh, cfg) if dp_mesh is not None else None
     for epoch in range(num_epochs):
         t0 = time.perf_counter()
         losses = []
@@ -661,10 +756,12 @@ def train(num_epochs: int, *args, flags=None) -> None:
             else:
                 key, kstep = jax.random.split(key)
                 x0 = jnp.asarray(imgs)
-                if batch_shard is not None:
-                    x0 = jax.device_put(x0, batch_shard)
-                params, opt_state, loss = train_step(
-                    params, opt_state, x0, kstep, cfg)
+                if step_dp is not None:
+                    params, opt_state, loss = step_dp(
+                        params, opt_state, x0, kstep)
+                else:
+                    params, opt_state, loss = train_step(
+                        params, opt_state, x0, kstep, cfg)
                 losses.append(loss)
         for imgs in chunk:  # ragged tail: per-step path
             key, kstep = jax.random.split(key)
@@ -677,9 +774,12 @@ def train(num_epochs: int, *args, flags=None) -> None:
         logger.log(epoch=epoch, avg_loss=float(np.mean(losses)),
                    epoch_seconds=dt, images_per_sec=n / dt,
                    step=int(opt_state.step))
+        manager.save(int(opt_state.step),
+                     {"params": params, "opt": opt_state},
+                     metrics={"loss": float(np.mean(losses))})
     save_params_csv(params, cfg)
-    ckpt_pytree.save_pytree(state_dir, int(opt_state.step),
-                            {"params": params, "opt": opt_state})
+    manager.wait()
+    manager.close()
     logger.close()
 
 
@@ -706,6 +806,8 @@ def main(argv=None) -> int:
         "cifar_unet", init, train, run, argv=argv,
         train_usage="train <num epochs>",
         run_usage="run [<num samples> (default 1)]",
+        extra_flags=("dp", "tiny", "max-steps", "scan-steps", "host-loop",
+                     "sample-seed", "keep", "keep-best"),
     )
 
 

@@ -94,16 +94,27 @@ def parse_flags(argv: List[str]):
     return pos, flags
 
 
+# Flags every model CLI understands; per-model extras via run_cli's
+# ``extra_flags``. Unknown flags are a hard error — silently accepting a flag
+# a model ignores is worse than rejecting it.
+_BASE_FLAGS = frozenset({"profile", "jsonl", "debug-nans", "disable-jit"})
+
+
 def run_cli(prog: str,
             init_fn: Callable[..., None],
             train_fn: Callable[..., None],
             run_fn: Callable[..., None],
             argv: Optional[List[str]] = None,
             train_usage: str = "train <num epochs>",
-            run_usage: str = "run [<num predictions>]") -> int:
+            run_usage: str = "run [<num predictions>]",
+            extra_flags=(),
+            unsupported_flags: Optional[Dict[str, str]] = None) -> int:
     """Dispatch the reference CLI verbs. Flags (``--profile``, ``--jsonl=…``,
-    ``--dp``, ``--debug-nans``, ``--disable-jit``) are passed to the verb
-    functions that accept them via the ``flags`` keyword."""
+    ``--debug-nans``, ``--disable-jit`` + per-model ``extra_flags``) are
+    passed to the verb functions via the ``flags`` keyword.
+    ``unsupported_flags`` maps a flag name to the reason it is rejected for
+    this model (e.g. ``--dp`` on the inherently-sequential online-SGD
+    models)."""
     argv = list(sys.argv[1:] if argv is None else argv)
     pos, flags = parse_flags(argv)
     usage = (f"Please supply an argument, options:\n\t{run_usage}\n\t"
@@ -111,6 +122,16 @@ def run_cli(prog: str,
     if not pos:
         print(usage)
         return 1
+    allowed = _BASE_FLAGS | set(extra_flags)
+    for k in flags:
+        if unsupported_flags and k in unsupported_flags:
+            print(f"--{k} is not supported by {prog}: "
+                  f"{unsupported_flags[k]}")
+            return 1
+        if k not in allowed:
+            print(f"Unrecognized flag --{k}; {prog} accepts: "
+                  + " ".join(f"--{f}" for f in sorted(allowed)))
+            return 1
     _apply_debug_flags(flags)
     verb = pos[0]
     try:

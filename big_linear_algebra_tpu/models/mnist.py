@@ -46,7 +46,7 @@ from big_linear_algebra_tpu.data.mnist import MnistCSVStream, visualize_digit
 from big_linear_algebra_tpu.data import synth
 from big_linear_algebra_tpu.models import common
 from big_linear_algebra_tpu.nn import layer_graph
-from big_linear_algebra_tpu.nn.init import uniform_init
+from big_linear_algebra_tpu.nn.init import he_uniform, uniform_init
 
 HIDDEN = 200  # HIDDEN_LAYER_SIZE, model/mnist.c:10
 WINDOW = 20   # TRAINING_REPORT_COSTS_EVERY_N, :11
@@ -81,12 +81,22 @@ def save_params(params):
 
 
 def init(flags=None, seed: int = 42):
-    """Uniform(−0.5, 0.5) for weights AND biases (model/mnist.c:218-249)."""
+    """Uniform(−0.5, 0.5) for weights AND biases (model/mnist.c:218-249).
+
+    ``--he-init``: He-uniform weights + zero biases instead — the escape
+    hatch from the reference's saturating init (see the fidelity note in the
+    module docstring), demonstrating the Layer path *can* learn."""
     key = jax.random.key(seed)
     params = []
+    he = "he-init" in (flags or {})
     for (shape_w, shape_b) in SHAPES:
         key, kw, kb = jax.random.split(key, 3)
-        params.append((uniform_init(kw, shape_w), uniform_init(kb, shape_b)))
+        if he:
+            params.append((he_uniform(kw, shape_w, fan_in=shape_w[1]),
+                           jnp.zeros(shape_b, jnp.float32)))
+        else:
+            params.append((uniform_init(kw, shape_w),
+                           uniform_init(kb, shape_b)))
     save_params(params)
     print(f"initialized parameters in {ckpt_dir()}")
 
@@ -177,6 +187,12 @@ def main(argv=None) -> int:
         "mnist", init, train, run, argv=argv,
         train_usage="train <iterations> <learn_rate> [<output=1>]",
         run_usage="run <num> [<output_every_n = 1>]",
+        extra_flags=("he-init",),
+        unsupported_flags={
+            "dp": "per-example online SGD is inherently sequential "
+                  "(each step's weights depend on the previous example, "
+                  "model/mnist.c:158-173); use mnist_nn for data-parallel "
+                  "minibatch training"},
     )
 
 

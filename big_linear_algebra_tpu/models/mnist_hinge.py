@@ -82,23 +82,65 @@ def _train_iteration(w, x, labels, lr):
     return w - lr * grads, norms
 
 
+def _chunk_body(y, x, lr, n_total, axis=None):
+    """Shared per-iteration body with the reference's exact convergence
+    semantics (model/mnist_hinge.c:158-171): the update is applied *before*
+    the ε check, so the converging iteration's update lands; every later
+    iteration leaves w frozen — chunked execution is then bit-equivalent to
+    the reference's per-iteration break."""
+
+    def body(carry, _):
+        w, done = carry
+        margins = y * (x @ w)
+        viol = (margins < 1.0).astype(x.dtype)
+        grads = -(x.T @ (viol * y))
+        if axis is not None:
+            grads = jax.lax.psum(grads, axis)
+        norms = jnp.sqrt(jnp.sum(grads * grads, axis=0)) / n_total
+        w = jnp.where(done, w, w - lr * grads)
+        done = jnp.logical_or(done, jnp.sum(norms) < EPSILON)
+        return (w, done), norms
+
+    return body
+
+
 @functools.partial(jax.jit, static_argnames=("n_iters",),
                    donate_argnums=(0,))
 def _train_chunk(w, x, labels, lr, n_iters: int = 10):
     """n_iters full-batch iterations in one dispatch (the reference logs and
-    checks convergence every 10 iterations, :152,168 — the host only needs
-    to see norms at that cadence). Returns (w, norms history (n_iters, 10))."""
+    checks convergence every 10 iterations, :152 — the host only needs to
+    see norms at that cadence). Returns (w, norms history (n_iters, 10))."""
     n = x.shape[0]
     y = jnp.where(jax.nn.one_hot(labels, 10, dtype=x.dtype) > 0, 1.0, -1.0)
+    (w, _), norms = jax.lax.scan(
+        _chunk_body(y, x, lr, n), (w, jnp.asarray(False)), None,
+        length=n_iters)
+    return w, norms
 
-    def body(w, _):
-        margins = y * (x @ w)
-        viol = (margins < 1.0).astype(x.dtype)
-        grads = -(x.T @ (viol * y))
-        norms = jnp.sqrt(jnp.sum(grads * grads, axis=0)) / n
-        return w - lr * grads, norms
 
-    return jax.lax.scan(body, w, None, length=n_iters)
+def make_train_chunk_dp(mesh, n_total: int, n_iters: int = 10,
+                        axis: str = "data"):
+    """DP chunk via shard_map: examples sharded over ``axis``, full-batch
+    gradient assembled with one psum per iteration — the identical trajectory
+    to ``_train_chunk`` (the hinge gradient is an example sum). ``n_total``
+    is the true (unpadded) example count for the reference's norm/N metric;
+    zero-padded example rows contribute exactly 0 to the gradient."""
+    from jax.sharding import PartitionSpec as P
+
+    from big_linear_algebra_tpu.parallel.spmd import shard_map_fn
+
+    def local_chunk(w, x, labels, lr):
+        y = jnp.where(jax.nn.one_hot(labels, 10, dtype=x.dtype) > 0,
+                      1.0, -1.0)
+        (w, _), norms = jax.lax.scan(
+            _chunk_body(y, x, lr, n_total, axis), (w, jnp.asarray(False)),
+            None, length=n_iters)
+        return w, norms
+
+    fn = shard_map_fn(local_chunk, mesh,
+                      in_specs=(P(), P(axis), P(axis), P()),
+                      out_specs=(P(), P()))
+    return jax.jit(fn, donate_argnums=(0,))
 
 
 def train(iterations: int, learn_rate: str = None, *args, flags=None):
@@ -113,12 +155,37 @@ def train(iterations: int, learn_rate: str = None, *args, flags=None):
         init()
     w = load_weights()
     data = MnistDataset.from_csv(train_csv)
-    x = jnp.asarray(data.x / 255.0)             # matrix_scale 1/255 (:125)
-    labels = jnp.asarray(data.y.astype(np.int32))
+    x_np = data.x / 255.0                       # matrix_scale 1/255 (:125)
+    labels_np = data.y.astype(np.int32)
+    n_total = data.num_examples
+    chunk_dp = None
+    if "dp" in (flags or {}):
+        from big_linear_algebra_tpu.parallel import default_mesh
+
+        mesh = default_mesh()
+        ndev = mesh.devices.size
+        if ndev > 1:
+            pad = (-n_total) % ndev  # zero rows: exactly 0 grad contribution
+            if pad:
+                x_np = np.concatenate(
+                    [x_np, np.zeros((pad, x_np.shape[1]), x_np.dtype)])
+                labels_np = np.concatenate(
+                    [labels_np, np.zeros(pad, labels_np.dtype)])
+            chunk_dp = functools.partial(make_train_chunk_dp, mesh, n_total)
+        else:
+            print("--dp: single device, running unsharded")
+    x = jnp.asarray(x_np)
+    labels = jnp.asarray(labels_np)
+    dp_steps = {}
     i = 0
     while i < iterations:
         chunk = min(10, iterations - i)         # convergence cadence (:152)
-        w, norms_hist = _train_chunk(w, x, labels, lr, chunk)
+        if chunk_dp is not None:
+            if chunk not in dp_steps:
+                dp_steps[chunk] = chunk_dp(chunk)
+            w, norms_hist = dp_steps[chunk](w, x, labels, lr)
+        else:
+            w, norms_hist = _train_chunk(w, x, labels, lr, chunk)
         norms_hist = np.asarray(norms_hist)
         i += chunk
         if (i % 10 == 0) or i == iterations:    # logUpdate (:152)
@@ -167,6 +234,7 @@ def main(argv=None) -> int:
         "mnist_hinge", init, train, run, argv=argv,
         train_usage="train <iterations> <learn_rate>",
         run_usage="run <num> [<output_every_n = 1>]",
+        extra_flags=("dp", "reference-scoring"),
     )
 
 

@@ -38,6 +38,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from big_linear_algebra_tpu.ckpt.csv_layouts import layout_exists
 from big_linear_algebra_tpu.data.csv import read_csv_matrix, write_csv_matrix
@@ -46,11 +47,8 @@ from big_linear_algebra_tpu.data import synth
 from big_linear_algebra_tpu.models import common
 from big_linear_algebra_tpu.nn import dense, he_uniform, softmax_cross_entropy
 from big_linear_algebra_tpu.ops import frobenius_norm, relu
-from big_linear_algebra_tpu.parallel import (
-    batch_sharding,
-    default_mesh,
-    replicate,
-)
+from big_linear_algebra_tpu.parallel import default_mesh
+from big_linear_algebra_tpu.parallel.spmd import psum_tree, shard_map_fn
 
 
 @dataclasses.dataclass(frozen=True)
@@ -226,6 +224,152 @@ def epoch_step(params, xs, onehots, masks, cfg: Config = CONFIG):
     return params, jnp.sum(corrects), jnp.sum(ces)
 
 
+# ---------------------------------------------------------------------------
+# SPMD (shard_map) training: DP and DP×TP. The step functions are written
+# per-shard so the Pallas MXU GEMMs (ops/matmul.py) execute on each device's
+# local block, with explicit psum/all_gather collectives over the ICI mesh —
+# the SURVEY.md §2.4 scaling story for the reference's minibatch loop
+# (model/mnist_nn.c:193-337).
+# ---------------------------------------------------------------------------
+
+
+def make_train_step_dp(mesh, cfg: Config = CONFIG, axis: str = "data"):
+    """DP train step: batch sharded over ``axis``, params replicated,
+    gradients psum'd. Numerically identical to ``train_step`` — the loss is
+    example-summed, so the psum of per-shard grads IS the full-batch
+    gradient (up to reduction order)."""
+
+    def local_step(params, x, onehot, mask):
+        (_, (correct, ce_sum)), grads = jax.value_and_grad(
+            loss_and_metrics, has_aux=True)(params, x, onehot, mask, cfg)
+        grads = psum_tree(grads, axis)
+        grads = jax.tree.map(lambda g: _clip(g, cfg.grad_clip), grads)
+        params = jax.tree.map(lambda p, g: p - cfg.learn_rate * g,
+                              params, grads)
+        return (params, jax.lax.psum(correct, axis),
+                jax.lax.psum(ce_sum, axis))
+
+    fn = shard_map_fn(local_step, mesh,
+                      in_specs=(P(), P(axis), P(axis), P(axis)),
+                      out_specs=(P(), P(), P()))
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+def tp_param_specs(model_axis: str = "model"):
+    """Output-dim sharding for every dense layer (Megatron column-parallel):
+    weights (in, out) shard the out dim, biases shard their only dim."""
+    specs = {}
+    for i in (1, 2, 3):
+        specs[f"w{i}"] = P(None, model_axis)
+        specs[f"b{i}"] = P(model_axis)
+    return specs
+
+
+def place_params_tp(mesh, params, model_axis: str = "model"):
+    specs = tp_param_specs(model_axis)
+    return {k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+            for k, v in params.items()}
+
+
+def tp_forward(params, x, model_axis: str = "model"):
+    """TP forward on output-dim-sharded weights: each dense GEMM (a Pallas
+    kernel per shard) computes a feature shard; an all_gather over
+    ``model_axis`` rebuilds the full activation before the next layer."""
+    a = x
+    for i in (1, 2, 3):
+        z = dense(a, params[f"w{i}"], params[f"b{i}"])
+        z = jax.lax.all_gather(z, model_axis, axis=1, tiled=True)
+        a = relu(z) if i < 3 else z
+    return a
+
+
+def make_train_step_dp_tp(mesh, cfg: Config = CONFIG,
+                          data_axis: str = "data",
+                          model_axis: str = "model"):
+    """DP×TP train step: batch over ``data_axis``, dense output dims over
+    ``model_axis``. Gradients for the weight shards arrive via the
+    all_gather transpose (reduce_scatter over ``model_axis``, inserted by
+    autodiff) plus an explicit psum over ``data_axis``."""
+
+    def local_step(params, x, onehot, mask):
+        def tp_loss(p):
+            logits = tp_forward(p, x, model_axis)
+            loss = softmax_cross_entropy(logits, onehot, mask) / cfg.input_size
+            pred = jnp.argmax(logits, axis=-1)
+            label = jnp.argmax(onehot, axis=-1)
+            correct = jnp.sum((pred == label) * mask)
+            # every model shard computes an identical copy of this loss from
+            # the gathered logits, and the all_gather transpose (psum_scatter
+            # over model_axis) SUMS the cotangents from all copies — scale the
+            # differentiated value by 1/tp so the gradient is exact
+            tp = jax.lax.axis_size(model_axis)
+            return loss / tp, (correct, loss * cfg.input_size)
+
+        (_, (correct, ce_sum)), grads = jax.value_and_grad(
+            tp_loss, has_aux=True)(params)
+        grads = psum_tree(grads, data_axis)
+        if cfg.grad_clip != float("inf"):
+            # frobenius norm of the *full* gradient spans the model shards
+            grads = {
+                k: g * jnp.minimum(
+                    1.0,
+                    cfg.grad_clip
+                    / jnp.sqrt(jax.lax.psum(jnp.sum(g * g), model_axis)))
+                for k, g in grads.items()
+            }
+        params = jax.tree.map(lambda p, g: p - cfg.learn_rate * g,
+                              params, grads)
+        return (params, jax.lax.psum(correct, data_axis),
+                jax.lax.psum(ce_sum, data_axis))
+
+    pspecs = tp_param_specs(model_axis)
+    fn = shard_map_fn(
+        local_step, mesh,
+        in_specs=(pspecs, P(data_axis), P(data_axis), P(data_axis)),
+        out_specs=(pspecs, P(), P()))
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+def make_epoch_resident_dp(mesh, cfg: Config = CONFIG, axis: str = "data"):
+    """DP variant of ``epoch_step_resident``: the dataset is replicated on
+    every device (25 MB — cheap), each device gathers its slice of every
+    batch by mesh position, and gradients psum per step inside one
+    lax.scan dispatch per epoch."""
+    ndev = mesh.shape[axis]
+    if cfg.batch_size % ndev:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} not divisible by {ndev} devices")
+    b_local = cfg.batch_size // ndev
+
+    def local_epoch(params, x_dev, y_dev, perm):
+        r = jax.lax.axis_index(axis)
+        n_batches = perm.shape[0] // cfg.batch_size
+        idx = perm.reshape(n_batches, ndev, b_local)
+
+        def body(p, batch_idx_all):
+            batch_idx = batch_idx_all[r]
+            safe = jnp.clip(batch_idx, 0, x_dev.shape[0] - 1)
+            x = x_dev[safe] / 255.0
+            onehot = jax.nn.one_hot(y_dev[safe].astype(jnp.int32),
+                                    cfg.layer_3, dtype=jnp.float32)
+            mask = (batch_idx >= 0).astype(jnp.float32)
+            (_, (correct, ce_sum)), grads = jax.value_and_grad(
+                loss_and_metrics, has_aux=True)(p, x, onehot, mask, cfg)
+            grads = psum_tree(grads, axis)
+            grads = jax.tree.map(lambda g: _clip(g, cfg.grad_clip), grads)
+            p = jax.tree.map(lambda w, g: w - cfg.learn_rate * g, p, grads)
+            return p, (jax.lax.psum(correct, axis),
+                       jax.lax.psum(ce_sum, axis))
+
+        params, (corrects, ces) = jax.lax.scan(body, params, idx)
+        return params, jnp.sum(corrects), jnp.sum(ces)
+
+    fn = shard_map_fn(local_epoch, mesh,
+                      in_specs=(P(), P(), P(), P()),
+                      out_specs=(P(), P(), P()))
+    return jax.jit(fn, donate_argnums=(0,))
+
+
 def _make_batch(xb, yb, batch_size, num_classes):
     """Zero-pad a ragged batch to ``batch_size`` and build onehot + mask."""
     n = xb.shape[0]
@@ -249,13 +393,21 @@ def init(flags=None, cfg: Config = CONFIG) -> None:
     print(f"initialized parameters in {ckpt_dir()}")
 
 
-def _placements(flags):
-    """(batch_sharding, param_sharding) when --dp and >1 device, else Nones."""
+def _dp_mesh(flags, cfg: Config):
+    """The DP mesh when ``--dp`` applies (>1 device, divisible batch)."""
     flags = flags or {}
-    if "dp" in flags and len(jax.devices()) > 1:
-        mesh = default_mesh()
-        return batch_sharding(mesh), replicate(mesh)
-    return None, None
+    if "dp" not in flags:
+        return None
+    mesh = default_mesh()
+    n = mesh.devices.size
+    if n <= 1:
+        print("--dp: single device, running unsharded")
+        return None
+    if cfg.batch_size % n:
+        raise SystemExit(
+            f"--dp: batch size {cfg.batch_size} is not divisible by "
+            f"{n} devices")
+    return mesh
 
 
 def train(num_epochs: int, *args, flags=None, cfg: Config = CONFIG) -> None:
@@ -268,59 +420,45 @@ def train(num_epochs: int, *args, flags=None, cfg: Config = CONFIG) -> None:
     data = MnistDataset.from_csv(train_csv)
     rng = np.random.default_rng(cfg.seed)
     logger = common.MetricsLogger((flags or {}).get("jsonl") or None)
-    x_sharding, p_sharding = _placements(flags)
-    if p_sharding is not None:
-        params = jax.device_put(params, p_sharding)
+    mesh = _dp_mesh(flags, cfg)
 
     fused = "per-batch" not in (flags or {})  # --per-batch: reference-style
     x_dev = y_dev = None
-    if fused and x_sharding is None:
-        # dataset to HBM once; each epoch ships only a permutation
+    epoch_dp = step_dp = None
+    if fused:
+        # dataset to HBM once (replicated across the DP mesh — each device
+        # gathers its batch slice locally); each epoch ships a permutation
         x_dev = jnp.asarray(data.x, jnp.float32)
         y_dev = jnp.asarray(data.y, jnp.float32)
+        if mesh is not None:
+            epoch_dp = make_epoch_resident_dp(mesh, cfg)
+    elif mesh is not None:
+        step_dp = make_train_step_dp(mesh, cfg)
     for epoch in range(num_epochs):
         t0 = time.perf_counter()
-        if fused and x_dev is not None:
+        if fused:
             n = data.num_examples
             b = cfg.batch_size
             padded = -(-n // b) * b
             perm = np.full(padded, -1, np.int32)
             perm[:n] = rng.permutation(n).astype(np.int32)
-            params, correct, ce_sum = epoch_step_resident(
-                params, x_dev, y_dev, jnp.asarray(perm), cfg)
-            correct_sum, loss_sum = float(correct), float(ce_sum)
-        elif fused:
-            # DP mode: stack every (padded+masked) batch with the batch dim
-            # sharded over the mesh, one lax.scan dispatch per epoch
-            batches = [
-                _make_batch(xb, yb, cfg.batch_size, cfg.layer_3)
-                for xb, yb in data.epoch_batches(rng, cfg.batch_size)
-            ]
-            xs = np.stack([b[0] for b in batches])
-            onehots = np.stack([b[1] for b in batches])
-            masks = np.stack([b[2] for b in batches])
-            from jax.sharding import PartitionSpec as P, NamedSharding
-            mesh = x_sharding.mesh
-            stacked = NamedSharding(mesh, P(None, "data"))
-            xs, onehots, masks = (jax.device_put(a, stacked)
-                                  for a in (xs, onehots, masks))
-            params, correct, ce_sum = epoch_step(
-                params, jnp.asarray(xs), jnp.asarray(onehots),
-                jnp.asarray(masks), cfg)
+            if epoch_dp is not None:
+                params, correct, ce_sum = epoch_dp(
+                    params, x_dev, y_dev, jnp.asarray(perm))
+            else:
+                params, correct, ce_sum = epoch_step_resident(
+                    params, x_dev, y_dev, jnp.asarray(perm), cfg)
             correct_sum, loss_sum = float(correct), float(ce_sum)
         else:
             correct_sum, loss_sum = 0.0, 0.0
             for xb, yb in data.epoch_batches(rng, cfg.batch_size):
                 x, onehot, mask = _make_batch(xb, yb, cfg.batch_size,
                                               cfg.layer_3)
-                if x_sharding is not None:
-                    x, onehot, mask = (
-                        jax.device_put(x, x_sharding),
-                        jax.device_put(onehot, x_sharding),
-                        jax.device_put(mask, x_sharding),
-                    )
-                params, correct, ce_sum = train_step(params, x, onehot, mask,
-                                                     cfg)
+                if step_dp is not None:
+                    params, correct, ce_sum = step_dp(params, x, onehot, mask)
+                else:
+                    params, correct, ce_sum = train_step(params, x, onehot,
+                                                         mask, cfg)
                 correct_sum += float(correct)
                 loss_sum += float(ce_sum)
         dt = time.perf_counter() - t0
@@ -353,7 +491,8 @@ def run(num_predictions: int = -1, flags=None, cfg: Config = CONFIG) -> None:
 
 
 def main(argv=None) -> int:
-    return common.run_cli("mnist_nn", init, train, run, argv=argv)
+    return common.run_cli("mnist_nn", init, train, run, argv=argv,
+                          extra_flags=("dp", "per-batch"))
 
 
 if __name__ == "__main__":

@@ -134,6 +134,10 @@ def main(argv=None) -> int:
         "my_first_model", init, train, run, argv=argv,
         train_usage="train <iterations> <learn_rate>",
         run_usage="run",
+        unsupported_flags={
+            "dp": "per-example online SGD on synthesized single examples is "
+                  "inherently sequential (model/my_first_model.c:99-105); "
+                  "use mnist_nn for data-parallel minibatch training"},
     )
 
 

@@ -269,13 +269,11 @@ def _dispatch(a, b, variant: Variant, block, out_dtype):
         out_dtype = jnp.result_type(a.dtype, b.dtype)
     m, n, k = spec["shapes"](a, b)
     # float64 (CPU parity/oracle mode) and tiny problems go through XLA.
-    # BLA_FORCE_XLA_MATMUL: escape hatch for SPMD-on-CPU dry runs, where
-    # interpret-mode Pallas lowers to io_callbacks that XLA cannot partition.
-    import os
-
+    # Under SPMD the caller wraps the step in shard_map (parallel/spmd.py),
+    # so this dispatch always sees per-shard local shapes and the Pallas
+    # kernel runs on every device without needing a partitioning rule.
     if (jnp.dtype(a.dtype).itemsize > 4
-            or 2 * m * n * k < _SMALL_FLOPS
-            or os.environ.get("BLA_FORCE_XLA_MATMUL")):
+            or 2 * m * n * k < _SMALL_FLOPS):
         return _xla_mm(a, b, variant, out_dtype)
     return _pallas_mm(a, b, variant, block, out_dtype)
 

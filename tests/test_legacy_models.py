@@ -152,3 +152,61 @@ def test_mnist_hinge_trains_and_evaluates(env_data_dir, capsys):
     # linear one-vs-rest on the 7-segment synthetic data should beat chance
     # by a wide margin
     assert acc > 0.5, out
+
+
+def test_hinge_convergence_freezes_updates(rng):
+    """Reference semantics (model/mnist_hinge.c:158-176): the converging
+    iteration's update is applied, then the loop breaks — later iterations in
+    a fused chunk must leave the weights untouched."""
+    import jax
+    import jax.numpy as jnp
+
+    from big_linear_algebra_tpu.models import mnist_hinge
+
+    # one tiny example: per-model grad norm = |x|₂, summed over 10 models
+    # → 10·|x|₂ ≈ 0.0032 < ε = 0.05, so iteration 0 converges (grads ≠ 0)
+    x = jnp.asarray(rng.normal(0, 0.0001, (1, 784)), jnp.float32)
+    labels = jnp.asarray([3], jnp.int32)
+    w0 = jnp.asarray(rng.normal(0, 0.01, (784, 10)), jnp.float32)
+    lr = 0.5
+
+    y = jnp.where(jax.nn.one_hot(labels, 10, dtype=x.dtype) > 0, 1.0, -1.0)
+    viol = ((y * (x @ w0)) < 1.0).astype(x.dtype)
+    g0 = -(x.T @ (viol * y))
+    w_expect = w0 - lr * g0                      # exactly ONE update
+
+    w_out, norms = mnist_hinge._train_chunk(jnp.copy(w0), x, labels, lr, 10)
+    assert float(jnp.sum(norms[0])) < mnist_hinge.EPSILON
+    assert float(jnp.max(jnp.abs(g0))) > 0.0
+    np.testing.assert_allclose(np.asarray(w_out), np.asarray(w_expect),
+                               rtol=1e-6, atol=1e-8)
+    # and NOT ten updates (the old chunked behavior)
+    assert float(jnp.max(jnp.abs(w_out - (w0 - 10 * lr * g0)))) > 0
+
+
+def test_mnist_legacy_he_init_learns(env_data_dir, capsys):
+    """--he-init escape hatch: the Layer path CAN learn when initialized
+    sanely (the default uniform(−.5,.5) init saturates by design — reference
+    parity; see models/mnist.py docstring)."""
+    from big_linear_algebra_tpu.data import synth
+    from big_linear_algebra_tpu.models import mnist as mnist_legacy
+
+    synth.ensure_mnist(str(env_data_dir), train_n=256, test_n=64)
+    assert mnist_legacy.main(["init", "--he-init"]) == 0
+    assert mnist_legacy.main(["train", "600", "0.05", "0"]) == 0
+    out = capsys.readouterr().out
+    final = float(out.split("Final batch avg:")[1].split()[0])
+    assert final < 0.5, f"he-init Layer path failed to learn: {out[-400:]}"
+
+
+def test_cli_rejects_unknown_and_unsupported_flags(capsys):
+    from big_linear_algebra_tpu.models import mnist_nn, my_first_model
+    from big_linear_algebra_tpu.models import mnist as mnist_legacy
+
+    assert mnist_nn.main(["train", "1", "--bogus"]) == 1
+    assert "Unrecognized flag --bogus" in capsys.readouterr().out
+    # --dp on the online-SGD models: explicit rejection with the reason
+    assert my_first_model.main(["train", "1", "0.1", "--dp"]) == 1
+    assert "not supported" in capsys.readouterr().out
+    assert mnist_legacy.main(["train", "1", "0.1", "--dp"]) == 1
+    assert "sequential" in capsys.readouterr().out

@@ -88,6 +88,128 @@ def test_prefetch_with_sharding(rng):
     np.testing.assert_array_equal(np.asarray(out[1]), batches[1])
 
 
+# ---------------------------------------------------------------------------
+# shard_map SPMD steps (parallel/spmd.py): the Pallas GEMMs execute per shard
+# (interpret mode on this CPU mesh) — no GSPMD partitioning rule needed.
+# ---------------------------------------------------------------------------
+
+
+def _mnist_batch(rng, n=64):
+    x = jnp.asarray(rng.random((n, 784)), jnp.float32)
+    onehot = jnp.asarray(np.eye(10, dtype=np.float32)[
+        rng.integers(0, 10, n)])
+    mask = jnp.ones((n,), jnp.float32)
+    return x, onehot, mask
+
+
+def test_spmd_dp_step_matches_single_device(rng):
+    """make_train_step_dp (shard_map, explicit psum, per-shard Pallas GEMMs)
+    must reproduce the unsharded step exactly (sum-based loss)."""
+    from big_linear_algebra_tpu.models import mnist_nn
+
+    cfg = mnist_nn.Config(learn_rate=0.5)
+    params = mnist_nn.init_params(jax.random.key(0), cfg)
+    x, onehot, mask = _mnist_batch(rng)
+
+    p_single, c_single, l_single = mnist_nn.train_step(
+        jax.tree.map(jnp.copy, params), x, onehot, mask, cfg)
+
+    step = mnist_nn.make_train_step_dp(default_mesh(), cfg)
+    p_dp, c_dp, l_dp = step(jax.tree.map(jnp.copy, params), x, onehot, mask)
+    assert float(c_dp) == float(c_single)
+    np.testing.assert_allclose(float(l_dp), float(l_single), rtol=1e-5)
+    for k in p_single:
+        np.testing.assert_allclose(
+            np.asarray(p_dp[k]), np.asarray(p_single[k]), rtol=1e-5,
+            atol=1e-6, err_msg=k)
+
+
+def test_spmd_dp_tp_step_matches_single_device(rng):
+    """DP×TP: batch over 'data', dense output dims over 'model'; the
+    all_gather/reduce_scatter pair must leave the update exactly the
+    full-model SGD step."""
+    from big_linear_algebra_tpu.models import mnist_nn
+
+    cfg = mnist_nn.Config(learn_rate=0.5)
+    params = mnist_nn.init_params(jax.random.key(0), cfg)
+    x, onehot, mask = _mnist_batch(rng)
+
+    p_single, c_single, l_single = mnist_nn.train_step(
+        jax.tree.map(jnp.copy, params), x, onehot, mask, cfg)
+
+    mesh = make_mesh({"data": 4, "model": 2})
+    step = mnist_nn.make_train_step_dp_tp(mesh, cfg)
+    p_tp = mnist_nn.place_params_tp(mesh, jax.tree.map(jnp.copy, params))
+    p_tp, c_tp, l_tp = step(p_tp, x, onehot, mask)
+    assert float(c_tp) == float(c_single)
+    np.testing.assert_allclose(float(l_tp), float(l_single), rtol=1e-5)
+    for k in p_single:
+        np.testing.assert_allclose(
+            np.asarray(p_tp[k]), np.asarray(p_single[k]), rtol=1e-5,
+            atol=1e-6, err_msg=k)
+
+
+def test_spmd_epoch_resident_dp_matches(rng):
+    """The DP resident-epoch scan must match the single-device epoch scan."""
+    from big_linear_algebra_tpu.models import mnist_nn
+
+    cfg = mnist_nn.Config(learn_rate=0.1)
+    params = mnist_nn.init_params(jax.random.key(2), cfg)
+    n = 200  # ragged: 200 = 3*64 + 8 → last batch masked
+    x_dev = jnp.asarray(rng.random((n, 784)) * 255.0, jnp.float32)
+    y_dev = jnp.asarray(rng.integers(0, 10, n), jnp.float32)
+    padded = -(-n // cfg.batch_size) * cfg.batch_size
+    perm = np.full(padded, -1, np.int32)
+    perm[:n] = rng.permutation(n).astype(np.int32)
+    perm = jnp.asarray(perm)
+
+    p1, c1, l1 = mnist_nn.epoch_step_resident(
+        jax.tree.map(jnp.copy, params), x_dev, y_dev, perm, cfg)
+    epoch_dp = mnist_nn.make_epoch_resident_dp(default_mesh(), cfg)
+    p2, c2, l2 = epoch_dp(jax.tree.map(jnp.copy, params), x_dev, y_dev, perm)
+    assert float(c1) == float(c2)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for k in p1:
+        np.testing.assert_allclose(np.asarray(p2[k]), np.asarray(p1[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_spmd_hinge_chunk_matches(rng):
+    from big_linear_algebra_tpu.models import mnist_hinge
+
+    n = 160
+    w0 = jnp.asarray(rng.normal(0, 0.05, (784, 10)), jnp.float32)
+    x = jnp.asarray(rng.random((n, 784)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 10, n), jnp.int32)
+
+    w1, norms1 = mnist_hinge._train_chunk(jnp.copy(w0), x, labels, 0.01, 5)
+    chunk_dp = mnist_hinge.make_train_chunk_dp(default_mesh(), n, 5)
+    w2, norms2 = chunk_dp(jnp.copy(w0), x, labels, 0.01)
+    np.testing.assert_allclose(np.asarray(norms2), np.asarray(norms1),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(w2), np.asarray(w1), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_spmd_unet_dp_step(rng):
+    """U-Net DP train step over the mesh: finite loss, params move, and the
+    update stays replicated across shards (pmean'd grads)."""
+    from big_linear_algebra_tpu.models import cifar_unet as cu
+    from big_linear_algebra_tpu.nn.optim import adam_init
+
+    cfg = cu.TINY
+    params = cu.init_params(jax.random.key(0), cfg)
+    opt = adam_init(params)
+    x0 = jnp.asarray(rng.standard_normal((16, 3, 32, 32)), jnp.float32)
+    step = cu.make_train_step_dp(default_mesh(), cfg)
+    p2, opt2, loss = step(params, opt, x0, jax.random.key(1))
+    assert np.isfinite(float(loss))
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        cu.init_params(jax.random.key(0), cfg), p2)
+    assert max(jax.tree.leaves(moved)) > 0.0
+
+
 def test_dryrun_multichip():
     import importlib.util
     from pathlib import Path
