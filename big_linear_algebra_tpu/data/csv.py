@@ -25,6 +25,25 @@ import numpy as np
 from big_linear_algebra_tpu.data import _native
 
 _TOKEN_RE = re.compile(r"[^,\n]*,|[^,\n]+\n|[^,\n]+$")
+# strtof-style numeric prefix: optional sign, digits/decimal, exponent,
+# or inf/nan — used so the Python fallback parses malformed tokens exactly
+# like the native path's strtof (leading numeric prefix, else 0.0)
+_FLOAT_PREFIX_RE = re.compile(
+    r"^[ \t]*[+-]?(?:inf(?:inity)?|nan|(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)",
+    re.IGNORECASE)
+
+
+def _parse_token(tok: str) -> float:
+    """strtof semantics (matches native/bla_io.cc:38): parse the leading
+    numeric prefix; non-numeric tokens are the value 0.0, never an error.
+    Tokens longer than 63 chars are truncated like the native 64-byte
+    buffer."""
+    tok = tok[:63]
+    try:
+        return float(tok)
+    except ValueError:
+        m = _FLOAT_PREFIX_RE.match(tok)
+        return float(m.group(0)) if m else 0.0
 
 
 def _py_read_values(path: str) -> np.ndarray:
@@ -32,7 +51,7 @@ def _py_read_values(path: str) -> np.ndarray:
     values = []
     for m in _TOKEN_RE.finditer(text):
         tok = m.group(0).rstrip(",\n")
-        values.append(float(tok) if tok else 0.0)
+        values.append(_parse_token(tok) if tok else 0.0)
     return np.asarray(values, dtype=np.float32)
 
 

@@ -86,21 +86,27 @@ int bla_csv_write(const char* path, const float* data, long rows, long cols) {
   FILE* f = fopen(path, "wb");
   if (!f) return -1;
   char* buf = static_cast<char*>(malloc(kBufSize));
+  if (!buf) {
+    fclose(f);
+    return -1;
+  }
   size_t used = 0;
-  for (long i = 0; i < rows; i++) {
+  bool ok = true;
+  for (long i = 0; ok && i < rows; i++) {
     for (long j = 0; j < cols; j++) {
       if (used + 64 > kBufSize) {
-        fwrite(buf, 1, used, f);
+        ok = fwrite(buf, 1, used, f) == used;  // short write: disk full etc.
         used = 0;
+        if (!ok) break;
       }
       used += snprintf(buf + used, 64, "%f,", data[i * cols + j]);
     }
-    buf[used++] = '\n';
+    if (ok) buf[used++] = '\n';
   }
-  fwrite(buf, 1, used, f);
+  if (ok && used) ok = fwrite(buf, 1, used, f) == used;
   free(buf);
   int rc = fclose(f);
-  return rc == 0 ? 0 : -1;
+  return (ok && rc == 0) ? 0 : -1;
 }
 
 // Count '\n' bytes (≈ count_num_lines, lib/csv.c:72-89). -1 on error.

@@ -63,3 +63,49 @@ def test_pytree_save_restore_latest(tmp_path, rng):
         step=7,
     )
     assert int(older["step"]) == 7
+
+
+def test_save_pytree_keep_last(tmp_path, rng):
+    tree = {"w": jnp.asarray(rng.standard_normal((3, 2)), jnp.float32)}
+    for s in (1, 2, 3, 4):
+        save_pytree(str(tmp_path), s, tree, keep_last=2)
+    names = sorted(p.name for p in tmp_path.iterdir())
+    assert names == ["step_3", "step_4"]
+    assert latest_step(str(tmp_path)) == 4
+
+
+def test_latest_step_skips_empty_partial_dir(tmp_path, rng):
+    tree = {"w": jnp.asarray(rng.standard_normal((3, 2)), jnp.float32)}
+    save_pytree(str(tmp_path), 5, tree)
+    (tmp_path / "step_9").mkdir()  # crash left an empty dir
+    assert latest_step(str(tmp_path)) == 5
+
+
+def test_train_checkpointer_async_retention_restore(tmp_path, rng):
+    from big_linear_algebra_tpu.ckpt.pytree import TrainCheckpointer
+
+    tree = {"w": jnp.asarray(rng.standard_normal((4, 4)), jnp.float32),
+            "step": jnp.asarray(0)}
+    with TrainCheckpointer(str(tmp_path), max_to_keep=2) as ck:
+        for s, loss in [(1, 5.0), (2, 3.0), (3, 4.0)]:
+            ck.save(s, dict(tree, step=jnp.asarray(s)),
+                    metrics={"loss": loss})
+        ck.wait()
+        assert ck.all_steps() == [2, 3]      # keep-last-2
+        restored = ck.restore(tree)
+        assert int(restored["step"]) == 3
+        np.testing.assert_allclose(np.asarray(restored["w"]),
+                                   np.asarray(tree["w"]))
+
+
+def test_train_checkpointer_best_k(tmp_path, rng):
+    from big_linear_algebra_tpu.ckpt.pytree import TrainCheckpointer
+
+    tree = {"w": jnp.zeros((2, 2), jnp.float32)}
+    with TrainCheckpointer(str(tmp_path), max_to_keep=2,
+                           best_metric="loss") as ck:
+        for s, loss in [(1, 2.0), (2, 9.0), (3, 1.0), (4, 8.0)]:
+            ck.save(s, tree, metrics={"loss": loss})
+        ck.wait()
+        # keeps the two LOWEST-loss steps, not the two most recent
+        assert ck.all_steps() == [1, 3]

@@ -173,3 +173,24 @@ def test_ensure_synthetic_datasets(tmp_path):
     assert len(paths) == 2
     labels, pixels = read_batch(paths[0])
     assert labels.shape == (20,)
+
+
+def test_csv_malformed_tokens_strtof_semantics(tmp_path):
+    """Native strtof and the Python fallback must agree on malformed input
+    (ADVICE r1): non-numeric → 0.0, numeric prefix parsed, >63-char tokens
+    truncated — the same file must load identically on both paths."""
+    from big_linear_algebra_tpu.data import _native
+    from big_linear_algebra_tpu.data.csv import _py_read_values
+
+    long_tok = "1" * 70
+    content = f"1.5,abc,2e3x,,-.5,nanq,1e,{long_tok},+inf,\n"
+    p = tmp_path / "weird.csv"
+    p.write_text(content)
+    py = _py_read_values(str(p))
+    # "1"*63 ≈ 1.1e62 overflows float32 → inf on both paths
+    expect = np.asarray([1.5, 0.0, 2000.0, 0.0, -0.5, np.nan, 1.0,
+                         np.inf, np.inf], np.float32)
+    np.testing.assert_allclose(py, expect, rtol=1e-6, equal_nan=True)
+    native = _native.csv_read(str(p))
+    if native is not None:  # g++ available: both paths must agree exactly
+        np.testing.assert_allclose(native, py, rtol=1e-6, equal_nan=True)
