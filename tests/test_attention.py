@@ -91,3 +91,42 @@ def test_self_attention_block_shape_and_grad(rng):
     for leaf in jax.tree.leaves(grads):
         assert np.isfinite(np.asarray(leaf)).all()
         assert np.abs(np.asarray(leaf)).max() > 0
+
+
+def test_flash_nondividing_blocks_lcm_padding(rng):
+    """ADVICE r1: block_q=384, block_k=256, n=300 — max-based padding would
+    give n_pad=384 and silently drop the 384→512 tail; lcm padding (768)
+    keeps every key."""
+    n, d = 300, 16
+    q = jnp.asarray(rng.standard_normal((1, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, n, d)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((1, n, d)), jnp.float32)
+    out, vjp_f = jax.vjp(lambda *a: flash_attention(*a, 384, 256), q, k, v)
+    want, vjp_d = jax.vjp(attention_dense, q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+    for got, wantg in zip(vjp_f(g), vjp_d(g)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(wantg),
+                                   rtol=3e-4, atol=3e-5)
+
+
+def test_flash_backward_two_pass_fallback(rng, monkeypatch):
+    """The long-sequence two-pass backward (used when the fused kernel's
+    resident rows exceed the VMEM budget) must match dense too."""
+    import importlib
+
+    # (the nn package re-exports the `attention` *function* under the same
+    # name, which shadows the submodule in plain `import ... as` syntax)
+    att = importlib.import_module("big_linear_algebra_tpu.nn.attention")
+    monkeypatch.setattr(att, "_BWD_FUSED_VMEM_BUDGET", 0)
+    n = 300
+    q = jnp.asarray(rng.standard_normal((1, n, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, n, 16)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, n, 16)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((1, n, 16)), jnp.float32)
+    _, vjp_f = jax.vjp(lambda *a: flash_attention(*a, 128, 128), q, k, v)
+    _, vjp_d = jax.vjp(attention_dense, q, k, v)
+    for got, want in zip(vjp_f(g), vjp_d(g)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-4, atol=3e-5)
