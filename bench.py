@@ -103,12 +103,8 @@ def bench_pallas_matmul(block=None):
             blk=block))
 
 
-def _kernel_time_from_trace(run_once, iters):
-    """Total device time (seconds) of the dominant per-iteration kernel in a
-    profiled execution: the largest-total-duration event that occurs exactly
-    ``iters`` times (excluding converts). None if profiling is unavailable.
-    """
-    import collections
+def _trace_events(run_once):
+    """Profile one execution and return (events, pid→process-name)."""
     import glob
     import gzip
     import json
@@ -121,27 +117,60 @@ def _kernel_time_from_trace(run_once, iters):
             run_once()
         paths = glob.glob(f"{tmp}/**/*.trace.json.gz", recursive=True)
         if not paths:
-            return None
+            return None, None
         with gzip.open(paths[0]) as f:
             events = json.load(f).get("traceEvents", [])
-        agg = collections.Counter()
-        cnt = collections.Counter()
+        pids = {}
         for e in events:
-            if e.get("ph") == "X" and "dur" in e:
-                agg[e["name"]] += e["dur"]
-                cnt[e["name"]] += 1
-        candidates = [
-            (dur, name) for name, dur in agg.items()
-            if cnt[name] == iters and "convert" not in name.lower()
-        ]
-        if not candidates:
-            return None
-        dur_us, _ = max(candidates)
-        return dur_us * 1e-6
+            if e.get("ph") == "M" and e.get("name") == "process_name":
+                pids[e["pid"]] = e.get("args", {}).get("name", "")
+        return events, pids
     except Exception:
-        return None
+        return None, None
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _kernel_time_from_trace(run_once, iters):
+    """Total device time (seconds) of the dominant per-iteration kernel in a
+    profiled execution: the largest-total-duration event that occurs exactly
+    ``iters`` times (excluding converts). None if profiling is unavailable.
+    """
+    import collections
+
+    events, _ = _trace_events(run_once)
+    if events is None:
+        return None
+    agg = collections.Counter()
+    cnt = collections.Counter()
+    for e in events:
+        if e.get("ph") == "X" and "dur" in e:
+            agg[e["name"]] += e["dur"]
+            cnt[e["name"]] += 1
+    candidates = [
+        (dur, name) for name, dur in agg.items()
+        if cnt[name] == iters and "convert" not in name.lower()
+    ]
+    if not candidates:
+        return None
+    dur_us, _ = max(candidates)
+    return dur_us * 1e-6
+
+
+def _loop_time_from_trace(run_once):
+    """Device time (seconds) of the fori_loop body across ALL its kernels:
+    the duration of the device-side ``while`` event (the compiled loop).
+    The right measure for multi-kernel steps (e.g. a whole train step) where
+    no single kernel dominates. None if profiling is unavailable."""
+    events, pids = _trace_events(run_once)
+    if events is None:
+        return None
+    best = 0
+    for e in events:
+        if (e.get("ph") == "X" and e.get("name") == "while"
+                and "device" in str(pids.get(e.get("pid"), "")).lower()):
+            best = max(best, e["dur"])
+    return best * 1e-6 if best else None
 
 
 def bench_pallas_matmul_kernel(m=4096, iters=16):
@@ -192,6 +221,33 @@ def bench_flash_attention_kernel(b=4, n=4096, d=128, iters=16,
     return 4 * b * n * n * d * iters / dt if dt else None
 
 
+def bench_flash_attention_bwd_kernel(b=4, n=4096, d=128, iters=16,
+                                     dtype=jnp.bfloat16):
+    """Fused flash backward throughput by kernel device time. FLOP count:
+    5 GEMMs of 2·n²·d per batch (s, dp, dv, dk, dq) = 10·b·n²·d — the
+    standard 2.5× of the forward."""
+    from big_linear_algebra_tpu.nn.attention import flash_attention
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, n, d)), dtype)
+    k = jnp.asarray(rng.standard_normal((b, n, d)), dtype)
+    v = jnp.asarray(rng.standard_normal((b, n, d)), dtype)
+    g = jnp.asarray(rng.standard_normal((b, n, d)), dtype)
+
+    @jax.jit
+    def chain(q, k, v, g):
+        def body(_, gg):
+            _, vjp = jax.vjp(flash_attention, q, k, gg.astype(v.dtype))
+            _, _, dv = vjp(gg)
+            return dv
+        out = jax.lax.fori_loop(0, iters, body, g)
+        return jnp.sum(out.astype(jnp.float32))
+
+    float(chain(q, k, v, g))  # warm
+    dt = _kernel_time_from_trace(lambda: float(chain(q, k, v, g)), iters)
+    return 10 * b * n * n * d * iters / dt if dt else None
+
+
 def bench_xla_matmul():
     return bench_matmul_chain(
         lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32))
@@ -221,8 +277,10 @@ def bench_flash_attention(b=4, n=4096, d=128, dtype=jnp.bfloat16):
     return 4 * b * n * n * d / dt  # 2 GEMMs of 2·n²·d each
 
 
-def bench_mnist_nn():
-    """Training images/sec/chip: chained train steps inside one executable."""
+def bench_mnist_nn(iters=2048):
+    """Training images/sec/chip: device time of the compiled train-step loop
+    (the trace's ``while`` event — exact device time of all per-step kernels;
+    the r1 slope method swung ±35% run-to-run through the tunnel)."""
     from big_linear_algebra_tpu.models import mnist_nn
 
     cfg = mnist_nn.CONFIG
@@ -234,19 +292,31 @@ def bench_mnist_nn():
     mask = jnp.ones((cfg.batch_size,), jnp.float32)
     jax.block_until_ready((x, onehot, mask))
 
-    def make_chain(iters):
+    @jax.jit
+    def chain(params):
+        def body(_, p):
+            p2, _, _ = mnist_nn.train_step(p, x, onehot, mask, cfg)
+            return p2
+        p = jax.lax.fori_loop(0, iters, body, params)
+        return jnp.sum(p["b3"])
+
+    float(chain(params))  # warm
+    dt = _loop_time_from_trace(lambda: float(chain(params)))
+    if dt:
+        return cfg.batch_size * iters / dt
+
+    def make_chain(n):  # fallback: slope timing
         @jax.jit
-        def chain(params):
+        def chain_n(params):
             def body(_, p):
                 p2, _, _ = mnist_nn.train_step(p, x, onehot, mask, cfg)
                 return p2
-            p = jax.lax.fori_loop(0, iters, body, params)
+            p = jax.lax.fori_loop(0, n, body, params)
             return jnp.sum(p["b3"])
 
-        compiled = chain.lower(params).compile()
+        compiled = chain_n.lower(params).compile()
         return lambda: compiled(params)
 
-    # each step is ~µs-scale; long chains lift the signal above timing noise
     dt = _slope_time(make_chain, n1=512, n2=8704, reps=3)
     return cfg.batch_size / dt
 
@@ -267,6 +337,10 @@ def main():
         extras["xla_matmul_bf16_gflops"] = round(bench_xla_matmul() / 1e9, 1)
         flash = bench_flash_attention_kernel() or bench_flash_attention()
         extras["flash_attention_bf16_gflops"] = round(flash / 1e9, 1)
+        flash_bwd = bench_flash_attention_bwd_kernel()
+        if flash_bwd:
+            extras["flash_attention_bwd_bf16_gflops"] = round(
+                flash_bwd / 1e9, 1)
         extras["mnist_nn_images_per_sec"] = round(bench_mnist_nn(), 1)
     except Exception as e:  # pragma: no cover - keep the primary metric alive
         extras["extras_error"] = repr(e)
