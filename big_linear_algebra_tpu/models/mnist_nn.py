@@ -46,7 +46,7 @@ from big_linear_algebra_tpu.data.mnist import MnistDataset
 from big_linear_algebra_tpu.data import synth
 from big_linear_algebra_tpu.models import common
 from big_linear_algebra_tpu.nn import dense, he_uniform, softmax_cross_entropy
-from big_linear_algebra_tpu.ops import frobenius_norm, relu
+from big_linear_algebra_tpu.ops import frobenius_norm
 from big_linear_algebra_tpu.parallel import default_mesh
 from big_linear_algebra_tpu.parallel.spmd import psum_tree, shard_map_fn
 
@@ -131,9 +131,10 @@ def load_params_csv(base: Path | None = None,
 
 def forward(params, x):
     """relu(dense) ×2 → logits (model/mnist_nn.c:221-234). x: (B, 784) scaled
-    to [0,1] by the caller (matrix_scale 1/255, :218)."""
-    a1 = relu(dense(x, params["w1"], params["b1"]))
-    a2 = relu(dense(a1, params["w2"], params["b2"]))
+    to [0,1] by the caller (matrix_scale 1/255, :218). The hidden layers'
+    bias+ReLU are fused into the matmul kernel epilogue (nn/dense.py)."""
+    a1 = dense(x, params["w1"], params["b1"], "relu")
+    a2 = dense(a1, params["w2"], params["b2"], "relu")
     return dense(a2, params["w3"], params["b3"])
 
 
@@ -277,9 +278,11 @@ def tp_forward(params, x, model_axis: str = "model"):
     ``model_axis`` rebuilds the full activation before the next layer."""
     a = x
     for i in (1, 2, 3):
-        z = dense(a, params[f"w{i}"], params[f"b{i}"])
-        z = jax.lax.all_gather(z, model_axis, axis=1, tiled=True)
-        a = relu(z) if i < 3 else z
+        # ReLU commutes with the feature-dim gather, so it stays fused in
+        # the per-shard kernel epilogue
+        z = dense(a, params[f"w{i}"], params[f"b{i}"],
+                  "relu" if i < 3 else None)
+        a = jax.lax.all_gather(z, model_axis, axis=1, tiled=True)
     return a
 
 

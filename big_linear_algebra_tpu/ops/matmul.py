@@ -92,8 +92,23 @@ _VARIANTS = {
 }
 
 
-def _mm_kernel(a_ref, b_ref, o_ref, acc_ref, *, n_k: int, dims, precision):
+def _epilogue(acc, bias_ref, activation):
+    """Fused output epilogue: bias row-broadcast and/or activation applied to
+    the f32 accumulator while the tile is still in VMEM — saves the extra
+    HBM round trip XLA's separate elementwise kernel would cost."""
+    if bias_ref is not None:
+        acc = acc + bias_ref[:].astype(jnp.float32)
+    if activation == "relu":
+        acc = jnp.maximum(acc, 0.0)
+    elif activation is not None:  # pragma: no cover - guarded at dispatch
+        raise ValueError(f"unknown fused activation {activation!r}")
+    return acc
+
+
+def _mm_kernel(a_ref, b_ref, *refs, n_k: int, dims, precision, activation):
     """Grid (m, n, k) with k innermost; fp32 accumulation in VMEM scratch."""
+    bias_ref = refs[0] if len(refs) == 3 else None
+    o_ref, acc_ref = refs[-2], refs[-1]
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -109,18 +124,22 @@ def _mm_kernel(a_ref, b_ref, o_ref, acc_ref, *, n_k: int, dims, precision):
 
     @pl.when(k == n_k - 1)
     def _flush():
-        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+        o_ref[:] = _epilogue(acc_ref[:], bias_ref,
+                             activation).astype(o_ref.dtype)
 
 
-def _mm_kernel_2d(a_ref, b_ref, o_ref, *, dims, precision):
+def _mm_kernel_2d(a_ref, b_ref, *refs, dims, precision, activation):
     """Full-K 2-D grid: one MXU contraction per output tile, no scratch —
     the peak-throughput path when both K-strips fit in VMEM."""
-    o_ref[:] = jax.lax.dot_general(
+    bias_ref = refs[0] if len(refs) == 2 else None
+    o_ref = refs[-1]
+    acc = jax.lax.dot_general(
         a_ref[:], b_ref[:],
         dimension_numbers=dims,
         preferred_element_type=jnp.float32,
         precision=precision,
-    ).astype(o_ref.dtype)
+    )
+    o_ref[:] = _epilogue(acc, bias_ref, activation).astype(o_ref.dtype)
 
 
 def _choose_blocks(m: int, n: int, k: int, itemsize: int):
@@ -161,7 +180,8 @@ def _mxu_precision(dtype):
     return jax.lax.Precision.HIGHEST
 
 
-def _pallas_mm(a, b, variant: Variant, block, out_dtype):
+def _pallas_mm(a, b, variant: Variant, block, out_dtype,
+               bias=None, activation=None):
     spec = _VARIANTS[variant]
     m, n, k = spec["shapes"](a, b)
     itemsize = jnp.dtype(a.dtype).itemsize
@@ -191,11 +211,18 @@ def _pallas_mm(a, b, variant: Variant, block, out_dtype):
         bytes_accessed=(m * k + k * n + m * n) * itemsize,
         transcendentals=0,
     )
+    operands = [a_p, b_p]
+    bias_specs = []
+    if bias is not None:
+        operands.append(pad2d(bias.reshape(1, -1), 1, np_))
     if n_k == 1:
+        if bias is not None:
+            bias_specs = [pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                                       memory_space=pltpu.VMEM)]
         # peak path: full-K strips, no scratch accumulator
         out = pl.pallas_call(
             functools.partial(_mm_kernel_2d, dims=spec["dims"],
-                              precision=precision),
+                              precision=precision, activation=activation),
             grid=(mp // bm, np_ // bn),
             in_specs=[
                 pl.BlockSpec(spec["a_block"](bm, bn, bk),
@@ -204,6 +231,7 @@ def _pallas_mm(a, b, variant: Variant, block, out_dtype):
                 pl.BlockSpec(spec["b_block"](bm, bn, bk),
                              lambda i, j: spec["b_index"](i, j, 0),
                              memory_space=pltpu.VMEM),
+                *bias_specs,
             ],
             out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
                                    memory_space=pltpu.VMEM),
@@ -212,17 +240,21 @@ def _pallas_mm(a, b, variant: Variant, block, out_dtype):
                 vmem_limit_bytes=_VMEM_LIMIT),
             cost_estimate=cost,
             interpret=use_interpret(),
-        )(a_p, b_p)
+        )(*operands)
     else:
+        if bias is not None:
+            bias_specs = [pl.BlockSpec((1, bn), lambda i, j, k: (0, j),
+                                       memory_space=pltpu.VMEM)]
         out = pl.pallas_call(
             functools.partial(_mm_kernel, n_k=n_k, dims=spec["dims"],
-                              precision=precision),
+                              precision=precision, activation=activation),
             grid=(mp // bm, np_ // bn, n_k),
             in_specs=[
                 pl.BlockSpec(spec["a_block"](bm, bn, bk), spec["a_index"],
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(spec["b_block"](bm, bn, bk), spec["b_index"],
                              memory_space=pltpu.VMEM),
+                *bias_specs,
             ],
             out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
                                    memory_space=pltpu.VMEM),
@@ -234,13 +266,13 @@ def _pallas_mm(a, b, variant: Variant, block, out_dtype):
             ),
             cost_estimate=cost,
             interpret=use_interpret(),
-        )(a_p, b_p)
+        )(*operands)
     if (mp, np_) != (m, n):
         out = out[:m, :n]
     return out
 
 
-def _xla_mm(a, b, variant: Variant, out_dtype):
+def _xla_mm(a, b, variant: Variant, out_dtype, bias=None, activation=None):
     dims = _VARIANTS[variant]["dims"]
     out = jax.lax.dot_general(
         a, b, dimension_numbers=dims,
@@ -248,10 +280,15 @@ def _xla_mm(a, b, variant: Variant, out_dtype):
         if jnp.dtype(out_dtype).itemsize <= 4 else jnp.float64,
         precision=_mxu_precision(a.dtype),
     )
+    if bias is not None:
+        out = out + bias[None, :].astype(out.dtype)
+    if activation == "relu":
+        out = jnp.maximum(out, 0.0)
     return out.astype(out_dtype)
 
 
-def _dispatch(a, b, variant: Variant, block, out_dtype):
+def _dispatch(a, b, variant: Variant, block, out_dtype,
+              bias=None, activation=None):
     if block is None:
         block = _DEFAULT_BLOCK
     spec = _VARIANTS[variant]
@@ -265,6 +302,8 @@ def _dispatch(a, b, variant: Variant, block, out_dtype):
         raise ValueError(
             f"matmul_{variant}: incompatible shapes {a.shape} and {b.shape}"
         )
+    if activation not in (None, "relu"):
+        raise ValueError(f"unsupported fused activation {activation!r}")
     if out_dtype is None:
         out_dtype = jnp.result_type(a.dtype, b.dtype)
     m, n, k = spec["shapes"](a, b)
@@ -274,8 +313,8 @@ def _dispatch(a, b, variant: Variant, block, out_dtype):
     # kernel runs on every device without needing a partitioning rule.
     if (jnp.dtype(a.dtype).itemsize > 4
             or 2 * m * n * k < _SMALL_FLOPS):
-        return _xla_mm(a, b, variant, out_dtype)
-    return _pallas_mm(a, b, variant, block, out_dtype)
+        return _xla_mm(a, b, variant, out_dtype, bias, activation)
+    return _pallas_mm(a, b, variant, block, out_dtype, bias, activation)
 
 
 # ---------------------------------------------------------------------------

@@ -89,3 +89,46 @@ def test_hand_vjp_matches_autodiff(rng, fn, shapes):
 def test_shape_mismatch_raises(rng):
     with pytest.raises(ValueError):
         matmul(jnp.zeros((3, 4)), jnp.zeros((5, 6)))
+
+
+def test_fused_bias_relu_epilogue(rng):
+    """bias+ReLU fused into the kernel epilogue must match the composed
+    ops, including on padded (non-tile-aligned) shapes, f32 and bf16."""
+    import jax.numpy as jnp
+
+    from big_linear_algebra_tpu.ops.matmul import _dispatch
+
+    for m, k, n, dtype in [(200, 300, 170, jnp.float32),
+                           (256, 512, 384, jnp.bfloat16)]:
+        x = jnp.asarray(rng.standard_normal((m, k)), dtype)
+        w = jnp.asarray(rng.standard_normal((k, n)), dtype)
+        b = jnp.asarray(rng.standard_normal((n,)), dtype)
+        fused = _dispatch(x, w, "nn", None, jnp.float32,
+                          bias=b, activation="relu")
+        want = jnp.maximum(
+            _dispatch(x, w, "nn", None, jnp.float32)
+            + b[None, :].astype(jnp.float32), 0.0)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_dense_fused_relu_gradients(rng):
+    """dense(..., 'relu') hand VJP == autodiff of relu(x@w+b)."""
+    import jax
+    import jax.numpy as jnp
+
+    from big_linear_algebra_tpu.nn.dense import dense
+
+    x = jnp.asarray(rng.standard_normal((64, 96)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((96, 80)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((80,)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((64, 80)), jnp.float32)
+
+    out, vjp = jax.vjp(lambda x, w, b: dense(x, w, b, "relu"), x, w, b)
+    ref_out, ref_vjp = jax.vjp(
+        lambda x, w, b: jnp.maximum(x @ w + b[None, :], 0.0), x, w, b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=1e-5, atol=1e-6)
+    for got, want in zip(vjp(g), ref_vjp(g)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
