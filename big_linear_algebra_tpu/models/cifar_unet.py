@@ -351,16 +351,31 @@ def time_embedding(t: jax.Array, cfg: Config) -> jax.Array:
     return relu(emb)
 
 
+def _gn_relu(x, cfg: Config):
+    """The gn→relu pair every reference block opens with
+    (model/cifar_unet.c:1046-1047), as composed XLA ops.
+
+    A fused Pallas GroupNorm+ReLU kernel was built and measured twice (r1:
+    flattening layout, 2.4× slower; r2: layout-preserving per-example VMEM
+    pass with segment-matrix group stats) — even the layout-preserving
+    version made the full reference-scale U-Net forward 1.9× slower
+    (1.52 vs 0.79 ms, bf16 batch 16 on v5e), because XLA keeps these
+    activations VMEM-resident across its fused elementwise chains while any
+    pallas_call forces an HBM round trip. Deleted per the
+    losing-kernel-is-not-a-capability rule; this wrapper marks the seam."""
+    return relu(group_norm(x, cfg.group_size))
+
+
 def _resnet_block(x, temb, p, cfg: Config, key, train: bool):
     """GN→ReLU→conv3×3 → +time → GN→ReLU→dropout→conv3×3 + residual
     (``_forward_resnet``, model/cifar_unet.c:1044-1072)."""
     in_ch = x.shape[1]
     out_ch = p["conv_1"].shape[0]
-    h = relu(group_norm(x, cfg.group_size))
+    h = _gn_relu(x, cfg)
     h = conv2d(h, p["conv_1"], 1)
     td = temb @ p["time_w"] + p["time_b"]          # (B, out)
     h = h + td[:, :, None, None]
-    h = relu(group_norm(h, cfg.group_size))
+    h = _gn_relu(h, cfg)
     h = dropout(h, cfg.dropout_rate, key, deterministic=not train)
     h = conv2d(h, p["conv_2"], 1)
     residual = x if in_ch == out_ch else conv2d(x, p["conv_3"], 1)
@@ -446,7 +461,7 @@ def forward(params, x, t, cfg: Config = CONFIG, key=None,
     h = _resnet_block(h, temb, params["up_4"]["resnet_2"], cfg, rk(), train)
 
     # Output (:1163-1165)
-    h = relu(group_norm(h, cfg.group_size))
+    h = _gn_relu(h, cfg)
     return conv2d(h, params["output_conv"], 1)
 
 

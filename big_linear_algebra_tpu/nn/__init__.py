@@ -25,4 +25,3 @@ from big_linear_algebra_tpu.nn.attention import (  # noqa: F401
 )
 from big_linear_algebra_tpu.nn import optim  # noqa: F401
 from big_linear_algebra_tpu.nn.conv_pallas import conv2d_im2col  # noqa: F401
-from big_linear_algebra_tpu.nn.norm_pallas import group_norm_relu  # noqa: F401

@@ -1,0 +1,133 @@
+"""Implicit-GEMM Pallas convolution: conv3×3 as k² shifted MXU GEMMs.
+
+The SURVEY §8.1 step-5 swap target for ``conv`` (lib/conv.c:205-212): where
+the reference materializes im2col in memory and XLA's conv lowers to its own
+implicit GEMM, this kernel holds one example's (C, H·W) activation block in
+VMEM and accumulates ``out += W_offᵀ @ shift(x, off)`` over the k² kernel
+taps — the im2col never exists anywhere, shifts are VMEM-local column rolls
+with boundary masks.
+
+Scope: stride 1, odd k, reference "same" padding (symmetric for stride 1),
+NCHW. Strided convs stay on ``nn/conv.py``'s XLA path.
+
+Measured reality (v5e, (16,128,32,32)×3×3 bf16, see BASELINE.md): the kernel
+reaches ~the same device time as XLA's conv in isolation, but *loses inside
+the U-Net forward* because XLA keeps activations VMEM-resident between its
+own ops while a pallas_call forces the HBM round trip — the same finding
+that killed the fused GN kernel. ``conv2d`` (XLA implicit GEMM) therefore
+remains the production default; this kernel is the honest measurement and a
+building block for shapes where it wins (e.g. very large C·F where XLA's
+conv heuristics fall off the MXU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from big_linear_algebra_tpu.nn.conv import _dx_conv, _dk_conv
+from big_linear_algebra_tpu.ops.pallas_utils import use_interpret
+
+_VMEM_LIMIT = 64 * 1024 * 1024
+
+
+def _mxu_precision(dtype):
+    if jnp.dtype(dtype) == jnp.bfloat16:
+        return jax.lax.Precision.DEFAULT
+    return jax.lax.Precision.HIGHEST
+
+
+def _conv_kernel(x_ref, w_ref, o_ref, *, k, h, w, prec):
+    """x_ref: (1, C, H·W); w_ref: (k², C, F); o_ref: (1, F, H·W)."""
+    x = x_ref[0]                                   # (C, HW)
+    hw = h * w
+    half = k // 2
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, hw), 1)
+    row_i = col // w
+    col_j = col % w
+    acc = jnp.zeros((w_ref.shape[2], hw), jnp.float32)
+    for oi, di in enumerate(range(-half, half + 1)):
+        for oj, dj in enumerate(range(-half, half + 1)):
+            s = di * w + dj
+            # out token (i, j) reads input token (i+di, j+dj): a flat roll
+            # by s plus a validity mask at the spatial borders (s == 0 must
+            # skip the roll: Mosaic rejects the zero-width slice it implies)
+            xs = x if s == 0 else jnp.roll(x, -s, axis=1)
+            valid = ((row_i + di >= 0) & (row_i + di < h)
+                     & (col_j + dj >= 0) & (col_j + dj < w))
+            xs = xs * valid.astype(x.dtype)
+            acc += jax.lax.dot_general(
+                w_ref[oi * k + oj], xs, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def _conv_fwd_pallas(x, kernels):
+    b, c, h, w = x.shape
+    f, c2, kh, kw = kernels.shape
+    assert c == c2 and kh == kw and kh % 2 == 1
+    k = kh
+    # per-tap weight matrices: (k², C, F) — one small transpose, done once
+    w_taps = kernels.transpose(2, 3, 1, 0).reshape(k * k, c, f)
+    x3 = x.reshape(b, c, h * w)
+    out = pl.pallas_call(
+        functools.partial(_conv_kernel, k=k, h=h, w=w,
+                          prec=_mxu_precision(x.dtype)),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, c, h * w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * k, c, f), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, f, h * w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, f, h * w), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * f * h * w * c * k * k,
+            bytes_accessed=(b * c * h * w + k * k * c * f + b * f * h * w)
+            * jnp.dtype(x.dtype).itemsize,
+            transcendentals=0),
+        interpret=use_interpret(),
+    )(x3, w_taps)
+    return out.reshape(b, f, h, w)
+
+
+def supported(x_shape, k_shape, stride: int) -> bool:
+    _, c, h, w = x_shape
+    f, _, kh, kw = k_shape
+    if stride != 1 or kh != kw or kh % 2 == 0:
+        return False
+    # one example block + f32 accumulator + taps must fit VMEM
+    need = (c + f) * h * w * 4 + f * h * w * 4 + kh * kw * c * f * 4
+    return need <= _VMEM_LIMIT // 2
+
+
+@jax.custom_vjp
+def conv2d_implicit(x: jax.Array, kernels: jax.Array) -> jax.Array:
+    """Stride-1 "same" conv on the implicit-GEMM Pallas kernel.
+    x: (B, C, H, W), kernels: (F, C, k, k) → (B, F, H, W)."""
+    return _conv_fwd_pallas(x, kernels)
+
+
+def _ci_fwd(x, kernels):
+    return _conv_fwd_pallas(x, kernels), (x, kernels)
+
+
+def _ci_bwd(res, g):
+    x, kernels = res
+    g = g.astype(x.dtype)
+    # dx is itself a stride-1 same conv with flipped, channel-transposed
+    # kernels (lib/conv.c:225-226 intent) — run it on the same Pallas kernel
+    k_t = jnp.flip(kernels, axis=(-2, -1)).transpose(1, 0, 2, 3)
+    dx = _conv_fwd_pallas(g, k_t)
+    dk = _dk_conv(x, g, 1, kernels.shape)          # im2colᵀ @ del_Q (XLA)
+    return dx, dk
+
+
+conv2d_implicit.defvjp(_ci_fwd, _ci_bwd)

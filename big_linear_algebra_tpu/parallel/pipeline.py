@@ -1,26 +1,32 @@
-"""Pipeline parallelism: a GPipe-style stage splitter over an ICI mesh axis.
+"""Pipeline parallelism: GPipe-style stage splitters over an ICI mesh axis.
 
 The reference runs all layers sequentially in one address space
 (model/mnist_nn.c:221-234); SURVEY.md §2.4 commits to an *optional*
-shard_map-based stage splitter as the PP equivalent. This module provides it
-for uniform-width stage stacks (the practical JAX formulation): each device
-on the ``stage`` axis holds one stage's parameters; microbatches enter at
-stage 0 and rotate through the ring with ``ppermute`` once per tick, so after
-the S−1-tick fill the pipeline computes S stages concurrently.
+shard_map-based stage splitter as the PP equivalent. Two formulations:
 
-Gradients flow through ``ppermute`` by autodiff (collective transpose), so
-the same pipeline runs under ``jax.grad`` for training.
+- ``gpipe``: uniform-width stages (every stage maps the same activation
+  shape) with a stacked parameter pytree — the minimal fast path.
+- ``gpipe_hetero``: stages with **arbitrary differing activation and
+  parameter shapes** (e.g. the U-Net's down/mid/up stages,
+  model/cifar_unet.c:1099-1165). Activations and per-stage params are packed
+  into fixed-width flat buffers (padded to the widest stage) so every device
+  runs the same program; ``jax.lax.switch`` on the device's stage index
+  dispatches to its stage function, which unpacks with its own static
+  shapes. Only one branch executes per tick, so the cost is the widest
+  stage + the padding bandwidth.
 
-Scope note: heterogeneous-width stages (e.g. the U-Net's down/mid/up) would
-need per-stage padding to a common activation shape; at the reference's model
-sizes PP is never profitable (SURVEY.md §2.4) — this exists to make the
-strategy available and tested, not because the models need it.
+In both, each device on the ``stage`` axis holds one stage's parameters;
+microbatches enter at stage 0 and rotate through the ring with ``ppermute``
+once per tick, so after the S−1-tick fill the pipeline computes S stages
+concurrently. Gradients flow through ``ppermute``/``switch`` by autodiff
+(collective transpose), so the same pipelines run under ``jax.grad``.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Callable
+import math
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp

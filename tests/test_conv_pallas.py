@@ -74,3 +74,25 @@ def test_kernels_to_matrix_order(rng):
     assert kmat[0, 0] == kernels[0, 0, 0, 0]
     assert kmat[3, 1] == kernels[1, 0, 1, 1]
     assert kmat[4, 0] == kernels[0, 1, 0, 0]
+
+
+def test_conv2d_implicit_matches_xla(rng):
+    """Implicit-GEMM Pallas conv (k² shifted VMEM GEMMs) fwd+bwd parity vs
+    the production conv2d at U-Net-like shapes, incl. boundary handling."""
+    import jax
+    import jax.numpy as jnp
+
+    from big_linear_algebra_tpu.nn.conv import conv2d
+    from big_linear_algebra_tpu.nn.conv_implicit import conv2d_implicit
+
+    for (b, c, h, w, f, k) in [(2, 8, 8, 8, 16, 3), (1, 4, 5, 7, 8, 5)]:
+        x = jnp.asarray(rng.standard_normal((b, c, h, w)), jnp.float32)
+        kr = jnp.asarray(rng.standard_normal((f, c, k, k)) * 0.2, jnp.float32)
+        g = jnp.asarray(rng.standard_normal((b, f, h, w)), jnp.float32)
+        out, vjp = jax.vjp(conv2d_implicit, x, kr)
+        want, vjp_ref = jax.vjp(lambda x, kr: conv2d(x, kr, 1), x, kr)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        for got, ref in zip(vjp(g), vjp_ref(g)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-5)
