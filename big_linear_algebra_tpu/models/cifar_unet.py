@@ -389,80 +389,154 @@ def _upsample(x, stride):
     return jnp.repeat(jnp.repeat(x, stride, axis=2), stride, axis=3)
 
 
-def forward(params, x, t, cfg: Config = CONFIG, key=None,
-            train: bool = False) -> jax.Array:
-    """Full U-Net forward (≈ ``forward``, model/cifar_unet.c:1099-1165, with
-    the §7.2 up_3 wiring fixed). x: (B, 3, 32, 32) in [−1, 1]; t: (B,)."""
-    if key is None:
-        key = jax.random.key(0)
-    dt = jnp.dtype(cfg.compute_dtype)
-    if x.dtype != dt:
-        x = x.astype(dt)
-        params = jax.tree.map(lambda p: p.astype(dt), params)
-    rkeys = iter(jax.random.split(key, 24))
-    rk = lambda: next(rkeys)
-    temb = time_embedding(t, cfg).astype(dt)
+def _down_stage(params, x, temb, cfg: Config, keys, train: bool):
+    """Down path (model/cifar_unet.c:1103-1118): returns the four skip
+    activations (skip_4 is also the mid-stage input)."""
     s = cfg.resize_stride
-    d1, d2, d3, d4 = cfg.embed_dims
-
-    # Down
-    h = _resnet_block(x, temb, params["down_1"]["resnet_1"], cfg, rk(), train)
-    skip_1 = _resnet_block(h, temb, params["down_1"]["resnet_2"], cfg, rk(),
-                           train)
+    h = _resnet_block(x, temb, params["down_1"]["resnet_1"], cfg, keys[0],
+                      train)
+    skip_1 = _resnet_block(h, temb, params["down_1"]["resnet_2"], cfg,
+                           keys[1], train)
     h = conv2d(skip_1, params["down_1"]["conv"], s)
 
-    h = _resnet_block(h, temb, params["down_2"]["resnet_1"], cfg, rk(), train)
+    h = _resnet_block(h, temb, params["down_2"]["resnet_1"], cfg, keys[2],
+                      train)
     h = self_attention_block(h, params["down_2"]["attn_1"])
-    h = _resnet_block(h, temb, params["down_2"]["resnet_2"], cfg, rk(), train)
+    h = _resnet_block(h, temb, params["down_2"]["resnet_2"], cfg, keys[3],
+                      train)
     skip_2 = self_attention_block(h, params["down_2"]["attn_2"])
     h = conv2d(skip_2, params["down_2"]["conv"], s)
 
-    h = _resnet_block(h, temb, params["down_3"]["resnet_1"], cfg, rk(), train)
-    skip_3 = _resnet_block(h, temb, params["down_3"]["resnet_2"], cfg, rk(),
-                           train)
+    h = _resnet_block(h, temb, params["down_3"]["resnet_1"], cfg, keys[4],
+                      train)
+    skip_3 = _resnet_block(h, temb, params["down_3"]["resnet_2"], cfg,
+                           keys[5], train)
     h = conv2d(skip_3, params["down_3"]["conv"], s)
 
-    h = _resnet_block(h, temb, params["down_4"]["resnet_1"], cfg, rk(), train)
-    skip_4 = _resnet_block(h, temb, params["down_4"]["resnet_2"], cfg, rk(),
-                           train)
+    h = _resnet_block(h, temb, params["down_4"]["resnet_1"], cfg, keys[6],
+                      train)
+    skip_4 = _resnet_block(h, temb, params["down_4"]["resnet_2"], cfg,
+                           keys[7], train)
+    return skip_1, skip_2, skip_3, skip_4
 
-    # Mid
-    h = _resnet_block(skip_4, temb, params["mid"]["resnet_1"], cfg, rk(),
+
+def _mid_stage(params, skip_4, temb, cfg: Config, keys, train: bool):
+    """Mid: resnet → attention → resnet (model/cifar_unet.c:1121-1123)."""
+    h = _resnet_block(skip_4, temb, params["mid"]["resnet_1"], cfg, keys[0],
                       train)
     h = self_attention_block(h, params["mid"]["attn"])
-    h = _resnet_block(h, temb, params["mid"]["resnet_2"], cfg, rk(), train)
+    return _resnet_block(h, temb, params["mid"]["resnet_2"], cfg, keys[1],
+                         train)
 
-    # Up (skip concat along channels, :1088-1097)
+
+def _up_stage(params, h, skips, temb, cfg: Config, keys, train: bool):
+    """Up path + output head (model/cifar_unet.c:1126-1165; skip concat along
+    channels per :1088-1097, §7.2 up_3 wiring fixed)."""
+    skip_1, skip_2, skip_3, skip_4 = skips
+    s = cfg.resize_stride
+    d1, d2, d3, d4 = cfg.embed_dims
+
     h = jnp.concatenate([h, skip_4], axis=1)
-    h = _resnet_block(h, temb, params["up_1"]["resnet_1"], cfg, rk(), train)
-    h = _resnet_block(h, temb, params["up_1"]["resnet_2"], cfg, rk(), train)
+    h = _resnet_block(h, temb, params["up_1"]["resnet_1"], cfg, keys[0],
+                      train)
+    h = _resnet_block(h, temb, params["up_1"]["resnet_2"], cfg, keys[1],
+                      train)
     h = _upsample(h, s)
     if d4 != d3:
         h = conv2d(h, params["up_1"]["conv"], 1)
 
     h = jnp.concatenate([h, skip_3], axis=1)
-    h = _resnet_block(h, temb, params["up_2"]["resnet_1"], cfg, rk(), train)
-    h = _resnet_block(h, temb, params["up_2"]["resnet_2"], cfg, rk(), train)
+    h = _resnet_block(h, temb, params["up_2"]["resnet_1"], cfg, keys[2],
+                      train)
+    h = _resnet_block(h, temb, params["up_2"]["resnet_2"], cfg, keys[3],
+                      train)
     h = _upsample(h, s)
     if d3 != d2:
         h = conv2d(h, params["up_2"]["conv"], 1)
 
     h = jnp.concatenate([h, skip_2], axis=1)
-    h = _resnet_block(h, temb, params["up_3"]["resnet_1"], cfg, rk(), train)
+    h = _resnet_block(h, temb, params["up_3"]["resnet_1"], cfg, keys[4],
+                      train)
     h = self_attention_block(h, params["up_3"]["attn_1"])
-    h = _resnet_block(h, temb, params["up_3"]["resnet_2"], cfg, rk(), train)
+    h = _resnet_block(h, temb, params["up_3"]["resnet_2"], cfg, keys[5],
+                      train)
     h = self_attention_block(h, params["up_3"]["attn_2"])  # §7.2 fixed
     h = _upsample(h, s)
     if d2 != d1:
         h = conv2d(h, params["up_3"]["conv"], 1)
 
     h = jnp.concatenate([h, skip_1], axis=1)
-    h = _resnet_block(h, temb, params["up_4"]["resnet_1"], cfg, rk(), train)
-    h = _resnet_block(h, temb, params["up_4"]["resnet_2"], cfg, rk(), train)
+    h = _resnet_block(h, temb, params["up_4"]["resnet_1"], cfg, keys[6],
+                      train)
+    h = _resnet_block(h, temb, params["up_4"]["resnet_2"], cfg, keys[7],
+                      train)
 
     # Output (:1163-1165)
     h = _gn_relu(h, cfg)
     return conv2d(h, params["output_conv"], 1)
+
+
+def forward(params, x, t, cfg: Config = CONFIG, key=None,
+            train: bool = False) -> jax.Array:
+    """Full U-Net forward (≈ ``forward``, model/cifar_unet.c:1099-1165, with
+    the §7.2 up_3 wiring fixed). x: (B, 3, 32, 32) in [−1, 1]; t: (B,).
+
+    Composed from the down/mid/up stage functions so the same code runs
+    sequentially here and stage-split under ``gpipe_hetero`` (see
+    ``unet_pipeline_stages``); key consumption order matches the previous
+    single-body implementation (down keys 0-7, mid 8-9, up 10-17)."""
+    if key is None:
+        key = jax.random.key(0)
+    dt = jnp.dtype(cfg.compute_dtype)
+    if x.dtype != dt:
+        x = x.astype(dt)
+        params = jax.tree.map(lambda p: p.astype(dt), params)
+    keys = jax.random.split(key, 24)
+    temb = time_embedding(t, cfg).astype(dt)
+
+    skips = _down_stage(params, x, temb, cfg, keys[0:8], train)
+    h = _mid_stage(params, skips[3], temb, cfg, keys[8:10], train)
+    return _up_stage(params, h, skips, temb, cfg, keys[10:18], train)
+
+
+def split_params_stages(params):
+    """Partition the parameter dict into the three pipeline stages'
+    subtrees (down / mid / up+output head)."""
+    down = {k: params[k] for k in ("down_1", "down_2", "down_3", "down_4")}
+    mid = {"mid": params["mid"]}
+    up = {k: params[k]
+          for k in ("up_1", "up_2", "up_3", "up_4", "output_conv")}
+    return [down, mid, up]
+
+
+def unet_pipeline_stages(cfg: Config = CONFIG):
+    """The U-Net as three heterogeneous GPipe stages (SURVEY.md §2.4 PP row:
+    "an optional shard_map-based stage splitter for the U-Net down/mid/up
+    stages"; reference sequential layers model/cifar_unet.c:1099-1165).
+
+    Returns ``stage_fns`` for ``parallel.pipeline.gpipe_hetero``: boundary 0
+    is ``(x, t_float)``; skips and the time embedding travel through the
+    pipeline as part of the boundary payload. Deterministic (inference)
+    mode — dropout off, as in the reference's forward."""
+    dt = jnp.dtype(cfg.compute_dtype)
+    dead = jax.random.key(0)  # dropout disabled: keys are never consumed
+
+    def stage_down(p, boundary):
+        x, t = boundary
+        temb = time_embedding(t, cfg).astype(dt)
+        skips = _down_stage(p, x.astype(dt), temb, cfg, [dead] * 8, False)
+        return skips + (temb,)
+
+    def stage_mid(p, boundary):
+        s1, s2, s3, s4, temb = boundary
+        h = _mid_stage(p, s4, temb, cfg, [dead] * 2, False)
+        return h, (s1, s2, s3, s4), temb
+
+    def stage_up(p, boundary):
+        h, skips, temb = boundary
+        return _up_stage(p, h, skips, temb, cfg, [dead] * 8, False)
+
+    return [stage_down, stage_mid, stage_up]
 
 
 # ---------------------------------------------------------------------------

@@ -30,6 +30,7 @@ from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -105,3 +106,149 @@ def gpipe(stage_fn: Callable, stacked_params, xs, mesh: Mesh,
         lambda p, s: jax.device_put(p, NamedSharding(mesh, s)),
         stacked_params, param_specs)
     return fn(stacked_params, xs)
+
+
+# ---------------------------------------------------------------------------
+# Heterogeneous stages
+# ---------------------------------------------------------------------------
+
+
+def _flat_packer(tree):
+    """(width, dtype, unravel) for a pytree of ShapeDtypeStructs (or arrays).
+
+    ``ravel_pytree`` needs concrete leaves, so build zeros from the abstract
+    shapes — these are trace-time constants only used to derive the unravel
+    closure and the flat width."""
+    dummy = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), tree)
+    flat, unravel = ravel_pytree(dummy)
+    return int(flat.size), flat.dtype, unravel
+
+
+def _pack_to(tree, width, dtype):
+    flat, _ = ravel_pytree(tree)
+    return jnp.pad(flat.astype(dtype), (0, width - flat.size))
+
+
+def _local_hetero(params_flat, xs_flat, *, axis, branches, n_micro):
+    """Per-device body of the heterogeneous pipeline (inside shard_map).
+
+    params_flat: (1, P) this stage's padded flat params; xs_flat: (n_micro, W)
+    packed stage-0 inputs, replicated. Same microbatch ring as
+    ``_local_pipeline`` but activations travel as padded flat buffers and
+    ``lax.switch`` on the device's stage index runs that stage's unpack →
+    compute → repack branch (only one branch executes per tick)."""
+    pflat = params_flat[0]
+    stage = jax.lax.axis_index(axis)
+    n_stages = jax.lax.axis_size(axis)
+    n_ticks = n_micro + n_stages - 1
+    perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+    def tick(t, carry):
+        buf, outs = carry
+        recv = jax.lax.ppermute(buf, axis, perm)
+        x_t = xs_flat[jnp.clip(t, 0, n_micro - 1)]
+        feed = jnp.where(t < n_micro, x_t, jnp.zeros_like(x_t))
+        inp = jnp.where(stage == 0, feed, recv)
+        out = jax.lax.switch(stage, branches, inp, pflat)
+        idx = t - (n_stages - 1)
+        write = jnp.logical_and(stage == n_stages - 1, idx >= 0)
+        outs = jnp.where(
+            write,
+            outs.at[jnp.clip(idx, 0, n_micro - 1)].set(out),
+            outs,
+        )
+        return out, outs
+
+    buf = jnp.zeros_like(xs_flat[0])
+    outs = jnp.zeros((n_micro,) + xs_flat.shape[1:], xs_flat.dtype)
+    _, outs = jax.lax.fori_loop(0, n_ticks, tick, (buf, outs))
+    outs = jax.lax.psum(
+        jnp.where(stage == n_stages - 1, outs, jnp.zeros_like(outs)), axis)
+    return outs
+
+
+def gpipe_hetero(stage_fns: Sequence[Callable], stage_params: Sequence,
+                 xs, mesh: Mesh, axis: str = "stage"):
+    """GPipe over stages with **arbitrary differing** activation/param shapes
+    (e.g. the U-Net's down/mid/up stages, model/cifar_unet.c:1099-1165).
+
+    - ``stage_fns[i]``: ``(params_i, boundary_i) -> boundary_{i+1}`` — any
+      pytree-in / pytree-out pure function; boundary shapes are derived by
+      chaining ``jax.eval_shape``.
+    - ``stage_params[i]``: stage i's parameter pytree (any structure).
+    - ``xs``: pytree whose leaves carry a leading ``n_micro`` microbatch dim;
+      element ``t`` is the stage-0 input boundary.
+
+    Every boundary and every stage's params are raveled to flat buffers
+    padded to the widest (activations to W, params to P), so all devices run
+    one SPMD program; gradients flow through ``ppermute``/``switch`` by
+    autodiff exactly as in ``gpipe``. Returns the stacked final boundary
+    (leading dim ``n_micro``). Cost per tick = widest stage + padding
+    bandwidth."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    n_stages = len(stage_fns)
+    if len(stage_params) != n_stages:
+        raise ValueError(f"{len(stage_params)} param trees for "
+                         f"{n_stages} stage fns")
+    if mesh.shape[axis] != n_stages:
+        raise ValueError(f"mesh axis {axis!r} has size {mesh.shape[axis]}, "
+                         f"need {n_stages} (one device per stage)")
+
+    leaves = jax.tree_util.tree_leaves(xs)
+    n_micro = leaves[0].shape[0]
+
+    # Boundary shape chain: b0 = one microbatch, b_{i+1} = stage_i(b_i).
+    b = jax.eval_shape(lambda t: jax.tree.map(lambda a: a[0], t), xs)
+    boundaries = [b]
+    for fn, p in zip(stage_fns, stage_params):
+        b = jax.eval_shape(fn, jax.eval_shape(lambda q: q, p), b)
+        boundaries.append(b)
+
+    b_packs = [_flat_packer(bd) for bd in boundaries]
+    width = max(w for w, _, _ in b_packs)
+    dtype = jnp.result_type(*[dt for _, dt, _ in b_packs])
+
+    p_packs = [_flat_packer(p) for p in stage_params]
+    p_width = max(w for w, _, _ in p_packs)
+    p_dtype = jnp.result_type(*[dt for _, dt, _ in p_packs])
+
+    def make_branch(i):
+        w_in, dt_in, unravel_in = b_packs[i]
+        pw, pdt, unravel_p = p_packs[i]
+        fn = stage_fns[i]
+
+        def branch(flat_in, flat_p):
+            x = unravel_in(flat_in[:w_in].astype(dt_in))
+            p = unravel_p(flat_p[:pw].astype(pdt))
+            out = fn(p, x)
+            return _pack_to(out, width, dtype)
+
+        return branch
+
+    branches = [make_branch(i) for i in range(n_stages)]
+
+    params_flat = jnp.stack(
+        [_pack_to(p, p_width, p_dtype) for p in stage_params])  # (S, P)
+    xs_flat = jax.vmap(
+        lambda t: _pack_to(jax.tree.map(lambda a: a[t], xs), width, dtype)
+    )(jnp.arange(n_micro))  # (n_micro, W)
+
+    fn = shard_map(
+        functools.partial(_local_hetero, axis=axis, branches=branches,
+                          n_micro=n_micro),
+        mesh=mesh,
+        in_specs=(P(axis, None), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    params_flat = jax.device_put(
+        params_flat, NamedSharding(mesh, P(axis, None)))
+    outs_flat = fn(params_flat, xs_flat)
+
+    w_out, dt_out, unravel_out = b_packs[-1]
+    return jax.vmap(
+        lambda f: unravel_out(f[:w_out].astype(dt_out)))(outs_flat)

@@ -4,14 +4,23 @@ The reference's attention is single-host, full O(N²) with the N×N scores
 materialized (model/cifar_unet.c:999-1022, SURVEY.md §5 "Long-context").
 This module provides the TPU-native scaling path: shard the sequence axis
 over a mesh axis, keep q local, and rotate k/v blocks around the ring with
-``jax.lax.ppermute`` while accumulating blockwise online-softmax partials —
-the same math as the flash kernel (nn/attention.py), distributed. Comm cost
-is P−1 permutes of the local k/v shard over ICI, fully overlappable with the
-per-block GEMMs by XLA's latency-hiding scheduler.
+``jax.lax.ppermute`` — the distributed form of the flash kernel
+(nn/attention.py), and it literally reuses it:
 
-Gradients flow through ``ppermute`` via JAX autodiff (collective transpose);
-the per-block math reuses the numerically-stable online-softmax combination,
-so backward is the standard ring-attention recomputation.
+- **forward**: each rotation runs the flash forward kernel on (local q,
+  visiting k/v) producing a block (o_r, lse_r); partials are merged with the
+  numerically-stable logsumexp combination. The (N/P)² score block lives
+  only in the kernel's VMEM tiles — never in HBM.
+- **backward**: an explicit VJP (the library-wide stance — autodiff is a
+  test oracle only). Each rotation calls the fused flash backward kernel
+  with the *global* (o, lse) residuals and the visiting k/v block, which
+  yields exactly that block's (dq, dk, dv) contributions; dk/dv accumulate
+  in buffers that travel around the ring *with* their k/v block and take
+  one final hop home.
+
+Comm cost is P−1 permutes of the local k/v shard over ICI forward (P+1
+backward, counting the homing hop), overlappable with the per-block kernels
+by XLA's latency-hiding scheduler.
 
 Single-head (B, N, d) shapes like nn/attention.py; N must divide evenly by
 the axis size.
@@ -20,54 +29,86 @@ the axis size.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-
-def _block_attention_partials(q, k, v, scale):
-    """One (local q, remote k/v) block: returns (m, l, acc) partials."""
-    s = jnp.einsum("bnd,bmd->bnm", q, k,
-                   preferred_element_type=jnp.float32) * scale
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    acc = jnp.einsum("bnm,bmd->bnd", p, v.astype(p.dtype))
-    return m, l, acc
+from big_linear_algebra_tpu.nn.attention import (_flash_attention_bwd,
+                                                 _flash_fwd)
 
 
-def _combine(m1, l1, acc1, m2, l2, acc2):
-    """Numerically-stable combination of two online-softmax partials."""
-    m = jnp.maximum(m1, m2)
-    a1 = jnp.exp(m1 - m)
-    a2 = jnp.exp(m2 - m)
-    return m, l1 * a1 + l2 * a2, acc1 * a1 + acc2 * a2
+def _ring_blocks(n_local: int) -> tuple[int, int]:
+    """Flash block sizes for a local shard of n_local rows: cap at the
+    measured-best single-chip blocks, shrink for small shards so the kernel
+    padding (lcm of the blocks) stays proportionate."""
+    bq = min(512, max(8, n_local))
+    bk = min(1024, max(8, n_local))
+    return bq, bk
 
 
-def _ring_attention_local(q, k, v, axis_name: str):
-    """Runs inside shard_map: q/k/v are the local sequence shards."""
-    scale = 1.0 / math.sqrt(q.shape[-1])
+def _merge(o, lse, o_r, lse_r):
+    """Stable merge of two flash partials (o f32, lse natural-log domain)."""
+    new_lse = jnp.logaddexp(lse, lse_r)
+    o = (o * jnp.exp(lse - new_lse)[..., None]
+         + o_r.astype(jnp.float32) * jnp.exp(lse_r - new_lse)[..., None])
+    return o, new_lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _ring_flash(q, k, v, axis_name):
+    return _ring_flash_fwd(q, k, v, axis_name)[0]
+
+
+def _ring_flash_fwd(q, k, v, axis_name):
     n_dev = jax.lax.axis_size(axis_name)
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    bq, bk = _ring_blocks(q.shape[1])
 
-    m, l, acc = _block_attention_partials(q, k, v, scale)
-
-    def body(_, carry):
-        m, l, acc, k, v = carry
-        k = jax.lax.ppermute(k, axis_name, perm)
-        v = jax.lax.ppermute(v, axis_name, perm)
-        m2, l2, acc2 = _block_attention_partials(q, k, v, scale)
-        m, l, acc = _combine(m, l, acc, m2, l2, acc2)
-        return m, l, acc, k, v
-
+    o_r, lse = _flash_fwd(q, k, v, bq, bk)
+    o = o_r.astype(jnp.float32)
+    kr, vr = k, v
     # Python loop (static trip count) so XLA can overlap permute & compute
-    carry = (m, l, acc, k, v)
-    for i in range(n_dev - 1):
-        carry = body(i, carry)
-    m, l, acc, _, _ = carry
-    return (acc / l).astype(q.dtype)
+    for _ in range(n_dev - 1):
+        kr = jax.lax.ppermute(kr, axis_name, perm)
+        vr = jax.lax.ppermute(vr, axis_name, perm)
+        o_r, lse_r = _flash_fwd(q, kr, vr, bq, bk)
+        o, lse = _merge(o, lse, o_r, lse_r)
+    o = o.astype(q.dtype)
+    return o, (q, k, v, o, lse)
+
+
+def _ring_flash_bwd(axis_name, res, g):
+    q, k, v, o, lse = res
+    n_dev = jax.lax.axis_size(axis_name)
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    bq, bk = _ring_blocks(q.shape[1])
+
+    dq = jnp.zeros(q.shape, jnp.float32)
+    kr, vr = k, v
+    dkr = jnp.zeros(k.shape, jnp.float32)
+    dvr = jnp.zeros(v.shape, jnp.float32)
+    for r in range(n_dev):
+        if r > 0:
+            kr, vr, dkr, dvr = (jax.lax.ppermute(x, axis_name, perm)
+                                for x in (kr, vr, dkr, dvr))
+        # Fused flash backward on (local q, visiting k/v) with the GLOBAL
+        # o/lse residuals: p = exp(s − lse_global) is exactly this block's
+        # slice of the softmax, so the returned grads are the block's exact
+        # contributions (nn/attention.py:_flash_bwd_fused_kernel).
+        dq_r, dk_r, dv_r = _flash_attention_bwd(bq, bk, (q, kr, vr, o, lse),
+                                                g)
+        dq = dq + dq_r.astype(jnp.float32)
+        dkr = dkr + dk_r.astype(jnp.float32)
+        dvr = dvr + dv_r.astype(jnp.float32)
+    # after P−1 in-loop hops each (k, dk, dv) bundle sits one device short
+    # of its owner; one final hop brings the accumulated grads home
+    dkr = jax.lax.ppermute(dkr, axis_name, perm)
+    dvr = jax.lax.ppermute(dvr, axis_name, perm)
+    return dq.astype(q.dtype), dkr.astype(k.dtype), dvr.astype(v.dtype)
+
+
+_ring_flash.defvjp(_ring_flash_fwd, _ring_flash_bwd)
 
 
 def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, mesh: Mesh,
@@ -81,10 +122,11 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, mesh: Mesh,
 
     spec = P(None, axis_name, None)
     fn = shard_map(
-        functools.partial(_ring_attention_local, axis_name=axis_name),
+        lambda q, k, v: _ring_flash(q, k, v, axis_name),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
+        check_vma=False,  # pallas_call out_shapes carry no vma annotation
     )
     sharding = NamedSharding(mesh, spec)
     q, k, v = (jax.device_put(x, sharding) for x in (q, k, v))
