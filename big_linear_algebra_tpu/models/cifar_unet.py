@@ -695,6 +695,60 @@ def make_epoch_step_dp(mesh, cfg: Config = CONFIG, axis: str = "data"):
     return jax.jit(fn, donate_argnums=(0, 1))
 
 
+def tp_param_specs(params, n_shards: int, model_axis: str = "model"):
+    """Tensor-parallel PartitionSpecs for the U-Net conv GEMMs (SURVEY.md
+    §2.4 TP row; reference GEMMs lib/conv.c:210, model/cifar_unet.c:1003-1021):
+    conv kernels ``(O, I, kh, kw)`` shard the output-channel dim, the
+    time-embedding dense ``(T, O)``/``(O,)`` shards its output dim —
+    activations then carry a channel shard and GSPMD inserts the halo/
+    reduce collectives. Attention projections replicate (key_dim 16 is
+    below one 128-lane tile — sharding it would fragment the MXU GEMM),
+    as does any leaf whose output dim is not divisible (e.g. the 3-channel
+    output head)."""
+    from jax.sharding import PartitionSpec as P
+
+    def spec(path, leaf):
+        name = getattr(path[-1], "key", None)
+        if name in ("q", "k", "v", "w", "b"):
+            return P()
+        if leaf.ndim == 4 and leaf.shape[0] % n_shards == 0:
+            return P(model_axis, None, None, None)
+        if name == "time_w" and leaf.shape[1] % n_shards == 0:
+            return P(None, model_axis)
+        if name == "time_b" and leaf.shape[0] % n_shards == 0:
+            return P(model_axis)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def place_tp(mesh, params, opt_state: AdamState | None = None,
+             model_axis: str = "model"):
+    """Lay params (and optionally Adam moments, which shard identically)
+    out tensor-parallel on ``mesh``. The regular jitted ``train_step``/
+    ``forward`` then run TP automatically: jit honors argument shardings
+    and GSPMD partitions the conv GEMMs, inserting the activation
+    collectives over ICI.
+
+    Note on when TP pays (measured reasoning, not measurable on this
+    single-chip host): at the reference widths (embed dims ≤256) every conv
+    fits one MXU pass and DP's single gradient all-reduce per step beats
+    TP's per-layer activation collectives; TP is the memory-side lever for
+    scaled-up widths (params + Adam moments split P ways). Combine both on
+    a 2D ``data×model`` mesh."""
+    from jax.sharding import NamedSharding
+
+    specs = tp_param_specs(params, mesh.shape[model_axis], model_axis)
+    place = lambda t: jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), t, specs)
+    params = place(params)
+    if opt_state is None:
+        return params
+    opt_state = AdamState(step=opt_state.step, m=place(opt_state.m),
+                          v=place(opt_state.v))
+    return params, opt_state
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "num_samples"))
 def sample(params, key, cfg: Config = CONFIG, num_samples: int = 1):
     """DDPM ancestral sampling (Ho et al. alg. 2) as one jitted

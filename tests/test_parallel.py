@@ -210,6 +210,40 @@ def test_spmd_unet_dp_step(rng):
     assert max(jax.tree.leaves(moved)) > 0.0
 
 
+def test_unet_tp_grads_match_single_device(rng):
+    """U-Net conv-GEMM tensor parallelism (SURVEY §2.4 TP row): grads of
+    the DDPM loss with channel-sharded conv kernels match the unsharded
+    computation — GSPMD inserts the activation collectives, math unchanged.
+
+    Run in f64 so reduction-order noise cannot mask a partitioning bug:
+    in f32 the reference-style GN (divides by raw variance, §7.5) amplifies
+    the different reduction order to ~1e-2 on some grads; in f64 TP matches
+    unsharded to ~1e-10."""
+    import dataclasses
+
+    from big_linear_algebra_tpu.models import cifar_unet as cu
+
+    cfg = dataclasses.replace(cu.TINY, compute_dtype="float64")
+    mesh = make_mesh({"model": 2}, devices=jax.devices()[:2])
+    params = jax.tree.map(lambda p: p.astype(jnp.float64),
+                          cu.init_params(jax.random.key(0), cu.TINY))
+    x0 = jnp.asarray(rng.standard_normal((4, 3, 32, 32)), jnp.float64)
+
+    # at least one conv kernel actually sharded
+    specs = cu.tp_param_specs(params, 2)
+    assert any(s != P() for s in jax.tree.leaves(
+        specs, is_leaf=lambda x: isinstance(x, P)))
+
+    grad_fn = jax.jit(jax.value_and_grad(
+        lambda p: cu.loss_fn(p, x0, jax.random.key(3), cfg)))
+    l_ref, g_ref = grad_fn(params)
+    l_tp, g_tp = grad_fn(cu.place_tp(mesh, params))
+    np.testing.assert_allclose(float(l_tp), float(l_ref), rtol=1e-12)
+    for a, b in zip(jax.tree.leaves(g_tp), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-7, atol=1e-9)
+
+
 def test_dryrun_multichip():
     import importlib.util
     from pathlib import Path
