@@ -838,6 +838,24 @@ def train(num_epochs: int, *args, flags=None) -> None:
             dp_mesh = mesh
         else:
             print("--dp: single device, running unsharded")
+    if "tp" in flags:
+        # Tensor parallel: conv kernels channel-sharded over all local
+        # devices; the jitted steps below run TP via GSPMD (jit honors
+        # argument shardings). Mutually exclusive with --dp here — the DP
+        # path is an explicit shard_map with replicated-param in_specs.
+        if dp_mesh is not None:
+            raise SystemExit("--tp cannot be combined with --dp on this CLI "
+                             "(use the DP×TP API on a 2-D data×model mesh)")
+        from big_linear_algebra_tpu.parallel import make_mesh
+
+        n_local = len(jax.local_devices())
+        if n_local > 1:
+            tp_mesh = make_mesh({"model": n_local})
+            params, opt_state = place_tp(tp_mesh, params, opt_state)
+            print(f"--tp: conv kernels channel-sharded over {n_local} "
+                  f"devices")
+        else:
+            print("--tp: single device, running unsharded")
     max_steps = int(flags.get("max-steps") or 0)  # 0 = whole epoch
     scan_steps = int(flags.get("scan-steps") or 1)  # steps per dispatch
     # Default full-epoch mode: ship the dataset to HBM once and run each
@@ -949,8 +967,8 @@ def main(argv=None) -> int:
         "cifar_unet", init, train, run, argv=argv,
         train_usage="train <num epochs>",
         run_usage="run [<num samples> (default 1)]",
-        extra_flags=("dp", "tiny", "max-steps", "scan-steps", "host-loop",
-                     "sample-seed", "keep", "keep-best"),
+        extra_flags=("dp", "tp", "tiny", "max-steps", "scan-steps",
+                     "host-loop", "sample-seed", "keep", "keep-best"),
     )
 
 

@@ -134,3 +134,21 @@ def test_cli_end_to_end(env_data_dir, capsys):
     out = capsys.readouterr().out
     assert "sample_0.bmp" in out
     assert (env_data_dir / "cifar_unet/samples/sample_0.bmp").is_file()
+
+
+def test_cli_tp_flag(env_data_dir, capsys):
+    """--tp: conv kernels channel-shard over the local devices; the epoch
+    runs TP via GSPMD and still converges/logs normally."""
+    from big_linear_algebra_tpu.data import synth
+
+    synth.ensure_cifar(str(env_data_dir), n_batches=1, per_batch=8)
+    assert cu.main(["init", "--tiny"]) == 0
+    capsys.readouterr()
+    # --max-steps uses the per-step path: the whole-epoch scan under GSPMD
+    # partitioning is a multi-minute XLA:CPU compile, the single step is not
+    assert cu.main(["train", "1", "--tiny", "--tp", "--max-steps=2"]) == 0
+    out = capsys.readouterr().out
+    assert "channel-sharded over" in out
+    assert "avg_loss" in out
+    with pytest.raises(SystemExit):
+        cu.main(["train", "1", "--tiny", "--tp", "--dp"])
