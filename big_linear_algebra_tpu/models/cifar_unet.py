@@ -52,13 +52,17 @@ from big_linear_algebra_tpu.data.csv import read_csv_matrix, write_csv_matrix
 from big_linear_algebra_tpu.models import common
 from big_linear_algebra_tpu.nn import (
     conv2d,
+    conv2d_nhwc,
     dropout,
     group_norm,
+    group_norm_nhwc,
     he_uniform,
     mse_loss,
     self_attention_block,
+    self_attention_block_nhwc,
     xavier_uniform,
 )
+from big_linear_algebra_tpu.nn.attention import _mxu_precision
 from big_linear_algebra_tpu.nn.optim import AdamState, adam_init, adam_update
 from big_linear_algebra_tpu.ops import relu
 from big_linear_algebra_tpu.parallel import spmd
@@ -88,6 +92,12 @@ class Config:
     # (12.1 vs 64.6 ms/step at batch 16); set "float32" for the
     # full-precision parity mode
     compute_dtype: str = "bfloat16"
+    # Internal activation layout: "NCHW" keeps the reference's channels-first
+    # maps end-to-end; "NHWC" transposes once at entry/exit and runs every
+    # conv/GN/attention channels-last (C on the 128-lane axis — attention
+    # tokenization and skip concats become reshape-only). The external
+    # interface (x, checkpoints, kernels) stays channels-first either way.
+    layout: str = "NCHW"
 
 
 CONFIG = Config()
@@ -351,7 +361,7 @@ def time_embedding(t: jax.Array, cfg: Config) -> jax.Array:
     return relu(emb)
 
 
-def _gn_relu(x, cfg: Config):
+def _gn_relu(x, cfg: Config, nhwc: bool = False):
     """The gn→relu pair every reference block opens with
     (model/cifar_unet.c:1046-1047), as composed XLA ops.
 
@@ -363,117 +373,132 @@ def _gn_relu(x, cfg: Config):
     activations VMEM-resident across its fused elementwise chains while any
     pallas_call forces an HBM round trip. Deleted per the
     losing-kernel-is-not-a-capability rule; this wrapper marks the seam."""
-    return relu(group_norm(x, cfg.group_size))
+    gn = group_norm_nhwc if nhwc else group_norm
+    return relu(gn(x, cfg.group_size))
 
 
-def _resnet_block(x, temb, p, cfg: Config, key, train: bool):
+def _resnet_block(x, temb, p, cfg: Config, key, train: bool,
+                  nhwc: bool = False):
     """GN→ReLU→conv3×3 → +time → GN→ReLU→dropout→conv3×3 + residual
     (``_forward_resnet``, model/cifar_unet.c:1044-1072)."""
-    in_ch = x.shape[1]
+    conv = conv2d_nhwc if nhwc else conv2d
+    in_ch = x.shape[-1] if nhwc else x.shape[1]
     out_ch = p["conv_1"].shape[0]
-    h = _gn_relu(x, cfg)
-    h = conv2d(h, p["conv_1"], 1)
-    td = temb @ p["time_w"] + p["time_b"]          # (B, out)
-    h = h + td[:, :, None, None]
-    h = _gn_relu(h, cfg)
+    h = _gn_relu(x, cfg, nhwc)
+    h = conv(h, p["conv_1"], 1)
+    # (B, out) — explicit precision: f32 mode must not silently truncate to
+    # bf16 on the MXU (same policy as ops/matmul.py / nn/conv.py)
+    td = jnp.matmul(temb, p["time_w"],
+                    precision=_mxu_precision(temb.dtype)) + p["time_b"]
+    h = h + (td[:, None, None, :] if nhwc else td[:, :, None, None])
+    h = _gn_relu(h, cfg, nhwc)
     h = dropout(h, cfg.dropout_rate, key, deterministic=not train)
-    h = conv2d(h, p["conv_2"], 1)
-    residual = x if in_ch == out_ch else conv2d(x, p["conv_3"], 1)
+    h = conv(h, p["conv_2"], 1)
+    residual = x if in_ch == out_ch else conv(x, p["conv_3"], 1)
     return h + residual
 
 
-def _upsample(x, stride):
+def _upsample(x, stride, nhwc: bool = False):
     """Nearest-neighbour ×stride (``_nearest_neighbours``,
     model/cifar_unet.c:1074-1086)."""
-    b, c, h, w = x.shape
-    return jnp.repeat(jnp.repeat(x, stride, axis=2), stride, axis=3)
+    hw = (1, 2) if nhwc else (2, 3)
+    return jnp.repeat(jnp.repeat(x, stride, axis=hw[0]), stride, axis=hw[1])
 
 
-def _down_stage(params, x, temb, cfg: Config, keys, train: bool):
+def _down_stage(params, x, temb, cfg: Config, keys, train: bool,
+                nhwc: bool = False):
     """Down path (model/cifar_unet.c:1103-1118): returns the four skip
     activations (skip_4 is also the mid-stage input)."""
+    conv = conv2d_nhwc if nhwc else conv2d
+    attn = self_attention_block_nhwc if nhwc else self_attention_block
     s = cfg.resize_stride
     h = _resnet_block(x, temb, params["down_1"]["resnet_1"], cfg, keys[0],
-                      train)
+                      train, nhwc)
     skip_1 = _resnet_block(h, temb, params["down_1"]["resnet_2"], cfg,
-                           keys[1], train)
-    h = conv2d(skip_1, params["down_1"]["conv"], s)
+                           keys[1], train, nhwc)
+    h = conv(skip_1, params["down_1"]["conv"], s)
 
     h = _resnet_block(h, temb, params["down_2"]["resnet_1"], cfg, keys[2],
-                      train)
-    h = self_attention_block(h, params["down_2"]["attn_1"])
+                      train, nhwc)
+    h = attn(h, params["down_2"]["attn_1"])
     h = _resnet_block(h, temb, params["down_2"]["resnet_2"], cfg, keys[3],
-                      train)
-    skip_2 = self_attention_block(h, params["down_2"]["attn_2"])
-    h = conv2d(skip_2, params["down_2"]["conv"], s)
+                      train, nhwc)
+    skip_2 = attn(h, params["down_2"]["attn_2"])
+    h = conv(skip_2, params["down_2"]["conv"], s)
 
     h = _resnet_block(h, temb, params["down_3"]["resnet_1"], cfg, keys[4],
-                      train)
+                      train, nhwc)
     skip_3 = _resnet_block(h, temb, params["down_3"]["resnet_2"], cfg,
-                           keys[5], train)
-    h = conv2d(skip_3, params["down_3"]["conv"], s)
+                           keys[5], train, nhwc)
+    h = conv(skip_3, params["down_3"]["conv"], s)
 
     h = _resnet_block(h, temb, params["down_4"]["resnet_1"], cfg, keys[6],
-                      train)
+                      train, nhwc)
     skip_4 = _resnet_block(h, temb, params["down_4"]["resnet_2"], cfg,
-                           keys[7], train)
+                           keys[7], train, nhwc)
     return skip_1, skip_2, skip_3, skip_4
 
 
-def _mid_stage(params, skip_4, temb, cfg: Config, keys, train: bool):
+def _mid_stage(params, skip_4, temb, cfg: Config, keys, train: bool,
+               nhwc: bool = False):
     """Mid: resnet → attention → resnet (model/cifar_unet.c:1121-1123)."""
+    attn = self_attention_block_nhwc if nhwc else self_attention_block
     h = _resnet_block(skip_4, temb, params["mid"]["resnet_1"], cfg, keys[0],
-                      train)
-    h = self_attention_block(h, params["mid"]["attn"])
+                      train, nhwc)
+    h = attn(h, params["mid"]["attn"])
     return _resnet_block(h, temb, params["mid"]["resnet_2"], cfg, keys[1],
-                         train)
+                         train, nhwc)
 
 
-def _up_stage(params, h, skips, temb, cfg: Config, keys, train: bool):
+def _up_stage(params, h, skips, temb, cfg: Config, keys, train: bool,
+              nhwc: bool = False):
     """Up path + output head (model/cifar_unet.c:1126-1165; skip concat along
     channels per :1088-1097, §7.2 up_3 wiring fixed)."""
+    conv = conv2d_nhwc if nhwc else conv2d
+    attn = self_attention_block_nhwc if nhwc else self_attention_block
+    cat_ax = -1 if nhwc else 1
     skip_1, skip_2, skip_3, skip_4 = skips
     s = cfg.resize_stride
     d1, d2, d3, d4 = cfg.embed_dims
 
-    h = jnp.concatenate([h, skip_4], axis=1)
+    h = jnp.concatenate([h, skip_4], axis=cat_ax)
     h = _resnet_block(h, temb, params["up_1"]["resnet_1"], cfg, keys[0],
-                      train)
+                      train, nhwc)
     h = _resnet_block(h, temb, params["up_1"]["resnet_2"], cfg, keys[1],
-                      train)
-    h = _upsample(h, s)
+                      train, nhwc)
+    h = _upsample(h, s, nhwc)
     if d4 != d3:
-        h = conv2d(h, params["up_1"]["conv"], 1)
+        h = conv(h, params["up_1"]["conv"], 1)
 
-    h = jnp.concatenate([h, skip_3], axis=1)
+    h = jnp.concatenate([h, skip_3], axis=cat_ax)
     h = _resnet_block(h, temb, params["up_2"]["resnet_1"], cfg, keys[2],
-                      train)
+                      train, nhwc)
     h = _resnet_block(h, temb, params["up_2"]["resnet_2"], cfg, keys[3],
-                      train)
-    h = _upsample(h, s)
+                      train, nhwc)
+    h = _upsample(h, s, nhwc)
     if d3 != d2:
-        h = conv2d(h, params["up_2"]["conv"], 1)
+        h = conv(h, params["up_2"]["conv"], 1)
 
-    h = jnp.concatenate([h, skip_2], axis=1)
+    h = jnp.concatenate([h, skip_2], axis=cat_ax)
     h = _resnet_block(h, temb, params["up_3"]["resnet_1"], cfg, keys[4],
-                      train)
-    h = self_attention_block(h, params["up_3"]["attn_1"])
+                      train, nhwc)
+    h = attn(h, params["up_3"]["attn_1"])
     h = _resnet_block(h, temb, params["up_3"]["resnet_2"], cfg, keys[5],
-                      train)
-    h = self_attention_block(h, params["up_3"]["attn_2"])  # §7.2 fixed
-    h = _upsample(h, s)
+                      train, nhwc)
+    h = attn(h, params["up_3"]["attn_2"])  # §7.2 fixed
+    h = _upsample(h, s, nhwc)
     if d2 != d1:
-        h = conv2d(h, params["up_3"]["conv"], 1)
+        h = conv(h, params["up_3"]["conv"], 1)
 
-    h = jnp.concatenate([h, skip_1], axis=1)
+    h = jnp.concatenate([h, skip_1], axis=cat_ax)
     h = _resnet_block(h, temb, params["up_4"]["resnet_1"], cfg, keys[6],
-                      train)
+                      train, nhwc)
     h = _resnet_block(h, temb, params["up_4"]["resnet_2"], cfg, keys[7],
-                      train)
+                      train, nhwc)
 
     # Output (:1163-1165)
-    h = _gn_relu(h, cfg)
-    return conv2d(h, params["output_conv"], 1)
+    h = _gn_relu(h, cfg, nhwc)
+    return conv(h, params["output_conv"], 1)
 
 
 def forward(params, x, t, cfg: Config = CONFIG, key=None,
@@ -494,9 +519,13 @@ def forward(params, x, t, cfg: Config = CONFIG, key=None,
     keys = jax.random.split(key, 24)
     temb = time_embedding(t, cfg).astype(dt)
 
-    skips = _down_stage(params, x, temb, cfg, keys[0:8], train)
-    h = _mid_stage(params, skips[3], temb, cfg, keys[8:10], train)
-    return _up_stage(params, h, skips, temb, cfg, keys[10:18], train)
+    nhwc = cfg.layout == "NHWC"
+    if nhwc:
+        x = x.transpose(0, 2, 3, 1)
+    skips = _down_stage(params, x, temb, cfg, keys[0:8], train, nhwc)
+    h = _mid_stage(params, skips[3], temb, cfg, keys[8:10], train, nhwc)
+    out = _up_stage(params, h, skips, temb, cfg, keys[10:18], train, nhwc)
+    return out.transpose(0, 3, 1, 2) if nhwc else out
 
 
 def split_params_stages(params):

@@ -518,10 +518,28 @@ def self_attention_block(x: jax.Array, params) -> jax.Array:
     ``params``: dict with q/k/v (C, key_dim), w (key_dim, C), b (C,).
     """
     b, c, h, w = x.shape
+    prec = _mxu_precision(x.dtype)
     tokens = x.reshape(b, c, h * w).transpose(0, 2, 1)   # (B, HW, C)
-    q = jnp.einsum("bnc,ck->bnk", tokens, params["q"])
-    k = jnp.einsum("bnc,ck->bnk", tokens, params["k"])
-    v = jnp.einsum("bnc,ck->bnk", tokens, params["v"])
+    q = jnp.einsum("bnc,ck->bnk", tokens, params["q"], precision=prec)
+    k = jnp.einsum("bnc,ck->bnk", tokens, params["k"], precision=prec)
+    v = jnp.einsum("bnc,ck->bnk", tokens, params["v"], precision=prec)
     att = attention(q, k, v)                             # (B, HW, key_dim)
-    out = jnp.einsum("bnk,kc->bnc", att, params["w"]) + params["b"]
+    out = jnp.einsum("bnk,kc->bnc", att, params["w"],
+                     precision=prec) + params["b"]
     return out.transpose(0, 2, 1).reshape(b, c, h, w)
+
+
+def self_attention_block_nhwc(x: jax.Array, params) -> jax.Array:
+    """(B, H, W, C) → (B, H, W, C): the channels-last twin. Tokens are a
+    plain reshape (no transpose — C already trails), so the block is two
+    fewer HBM-sweep transposes than the NCHW version."""
+    b, h, w, c = x.shape
+    prec = _mxu_precision(x.dtype)
+    tokens = x.reshape(b, h * w, c)                      # (B, HW, C)
+    q = jnp.einsum("bnc,ck->bnk", tokens, params["q"], precision=prec)
+    k = jnp.einsum("bnc,ck->bnk", tokens, params["k"], precision=prec)
+    v = jnp.einsum("bnc,ck->bnk", tokens, params["v"], precision=prec)
+    att = attention(q, k, v)                             # (B, HW, key_dim)
+    out = jnp.einsum("bnk,kc->bnc", att, params["w"],
+                     precision=prec) + params["b"]
+    return out.reshape(b, h, w, c)

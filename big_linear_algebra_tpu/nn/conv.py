@@ -149,3 +149,98 @@ def conv2d_single(x: jax.Array, kernels: jax.Array, stride: int = 1):
     """Unbatched (C, H, W) convenience wrapper matching the reference's
     single-example signature (lib/conv.c:205)."""
     return conv2d(x[None], kernels, stride)[0]
+
+
+# ---------------------------------------------------------------------------
+# Channels-last (NHWC) twin: the TPU-preferred layout (feature dim on the
+# 128-lane axis). Same reference "same"-padding semantics and hand-written
+# VJP; kernels keep the reference (F, C, kh, kw) array layout
+# (lib/conv.c:206) and are reoriented to HWIO inside (a ≤1 MB transpose XLA
+# fuses into the conv's weight load).
+# ---------------------------------------------------------------------------
+
+DIMS_NHWC = ("NHWC", "HWIO", "NHWC")
+
+
+def _acc_type(dtype):
+    return jnp.float64 if dtype == jnp.float64 else jnp.float32
+
+
+def _fwd_conv_nhwc(x, k, stride):
+    (kh, kw) = k.shape[-2:]
+    pad = (same_padding(x.shape[1], kh, stride),
+           same_padding(x.shape[2], kw, stride))
+    k_hwio = k.transpose(2, 3, 1, 0)                   # (kh, kw, C, F)
+    return jax.lax.conv_general_dilated(
+        x, k_hwio, window_strides=(stride, stride), padding=pad,
+        dimension_numbers=DIMS_NHWC,
+        preferred_element_type=_acc_type(x.dtype),
+        precision=_conv_precision(x.dtype),
+    ).astype(x.dtype)
+
+
+def _dx_conv_nhwc(g, k, stride, in_shape):
+    """del_X, NHWC: transpose-convolution with flipped, channel-transposed
+    kernels (the lib/conv.c:225-226 formulation; same pad algebra as the
+    NCHW `_dx_conv`)."""
+    (kh, kw) = k.shape[-2:]
+    in_h, in_w = in_shape[1], in_shape[2]
+    lo_h, _ = same_padding(in_h, kh, stride)
+    lo_w, _ = same_padding(in_w, kw, stride)
+    dil_h = (g.shape[1] - 1) * stride + 1
+    dil_w = (g.shape[2] - 1) * stride + 1
+    pad_lo_h = kh - 1 - lo_h
+    pad_lo_w = kw - 1 - lo_w
+    pad_hi_h = in_h + kh - 1 - dil_h - pad_lo_h
+    pad_hi_w = in_w + kw - 1 - dil_w - pad_lo_w
+    # (F, C, kh, kw) → flip spatial → HWIO with I=F, O=C: (kh, kw, F, C)
+    k_t = jnp.flip(k, axis=(-2, -1)).transpose(2, 3, 0, 1)
+    return jax.lax.conv_general_dilated(
+        g, k_t, window_strides=(1, 1),
+        padding=((pad_lo_h, pad_hi_h), (pad_lo_w, pad_hi_w)),
+        lhs_dilation=(stride, stride),
+        dimension_numbers=DIMS_NHWC,
+        preferred_element_type=_acc_type(g.dtype),
+        precision=_conv_precision(g.dtype),
+    ).astype(g.dtype)
+
+
+def _dk_conv_nhwc(x, g, stride, k_shape):
+    """del_K, NHWC: batched correlation with channels as the conv batch and
+    the example batch as the contraction dim (lib/conv.c:221-223)."""
+    (kh, kw) = k_shape[-2:]
+    pad = (same_padding(x.shape[1], kh, stride),
+           same_padding(x.shape[2], kw, stride))
+    out = jax.lax.conv_general_dilated(
+        x.transpose(3, 1, 2, 0),        # lhs  (C, H, W, B)   as NHWC
+        g.transpose(1, 2, 0, 3),        # rhs  (oh, ow, B, F) as HWIO
+        window_strides=(1, 1),
+        padding=pad,
+        rhs_dilation=(stride, stride),
+        dimension_numbers=DIMS_NHWC,
+        preferred_element_type=_acc_type(x.dtype),
+        precision=_conv_precision(x.dtype),
+    )                                    # (C, kh, kw, F)
+    return out.transpose(3, 0, 1, 2).astype(x.dtype)  # (F, C, kh, kw)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv2d_nhwc(x: jax.Array, kernels: jax.Array, stride: int = 1):
+    """Correlation with reference "same" padding, channels-last.
+    x: (B, H, W, C), kernels: (F, C, kh, kw) → (B, ⌈H/s⌉, ⌈W/s⌉, F)."""
+    return _fwd_conv_nhwc(x, kernels, stride)
+
+
+def _conv2d_nhwc_fwd(x, kernels, stride):
+    return _fwd_conv_nhwc(x, kernels, stride), (x, kernels)
+
+
+def _conv2d_nhwc_bwd(stride, res, g):
+    x, kernels = res
+    g = g.astype(x.dtype)
+    dx = _dx_conv_nhwc(g, kernels, stride, x.shape)
+    dk = _dk_conv_nhwc(x, g, stride, kernels.shape)
+    return dx, dk
+
+
+conv2d_nhwc.defvjp(_conv2d_nhwc_fwd, _conv2d_nhwc_bwd)

@@ -109,3 +109,72 @@ def _group_norm_bwd(group_size, eps, reference_compat, res, g):
 
 
 group_norm.defvjp(_group_norm_fwd, _group_norm_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Channels-last (NHWC) twin — the TPU-preferred layout (C on the 128-lane
+# axis; group stats reduce over sublane-major (H, W, gs) blocks). Same
+# reference semantics and explicit VJP as group_norm.
+# ---------------------------------------------------------------------------
+
+
+def _group_stats_nhwc(x, channels, group_size):
+    """x: (..., H, W, C) → per-channel broadcast stats (..., 1, 1, C)."""
+    *lead, h, w, c = x.shape
+    assert c == channels
+    n_groups = -(-channels // group_size)
+    pad_c = n_groups * group_size - channels
+    xp = jnp.pad(x, [(0, 0)] * len(lead) + [(0, 0), (0, 0), (0, pad_c)])
+    xg = xp.reshape(*lead, h, w, n_groups, group_size)
+    if pad_c:
+        mask = jnp.concatenate(
+            [jnp.ones((channels,), x.dtype), jnp.zeros((pad_c,), x.dtype)]
+        ).reshape(1, 1, n_groups, group_size)
+        counts = mask.sum(axis=-1, keepdims=True) * h * w
+        mean = (xg * mask).sum(axis=(-4, -3, -1), keepdims=True) / counts
+        var = (((xg - mean) ** 2) * mask).sum(
+            axis=(-4, -3, -1), keepdims=True) / counts
+    else:
+        mean = xg.mean(axis=(-4, -3, -1), keepdims=True)
+        var = ((xg - mean) ** 2).mean(axis=(-4, -3, -1), keepdims=True)
+    bmean = jnp.broadcast_to(
+        mean, (*lead, 1, 1, n_groups, group_size)
+    ).reshape(*lead, 1, 1, n_groups * group_size)[..., :channels]
+    bvar = jnp.broadcast_to(
+        var, (*lead, 1, 1, n_groups, group_size)
+    ).reshape(*lead, 1, 1, n_groups * group_size)[..., :channels]
+    return bmean, bvar
+
+
+def _gn_nhwc_fwd_impl(x, group_size, eps, reference_compat):
+    xs = x.astype(_stat_dtype(x.dtype))
+    mean, var = _group_stats_nhwc(xs, x.shape[-1], group_size)
+    denom = _denom(var, eps, reference_compat)
+    return ((xs - mean) / denom).astype(x.dtype), mean, var
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def group_norm_nhwc(x: jax.Array, group_size: int, eps: float = 1e-8,
+                    reference_compat: bool = False) -> jax.Array:
+    """x: (..., H, W, C) → same shape. ≈ ``group_norm`` (lib/norm.c:5),
+    channels-last."""
+    return _gn_nhwc_fwd_impl(x, group_size, eps, reference_compat)[0]
+
+
+def _group_norm_nhwc_fwd(x, group_size, eps, reference_compat):
+    out, mean, var = _gn_nhwc_fwd_impl(x, group_size, eps, reference_compat)
+    return out, (x, mean, var)
+
+
+def _group_norm_nhwc_bwd(group_size, eps, reference_compat, res, g):
+    x, mean, var = res
+    g = g.astype(_stat_dtype(x.dtype))
+    denom = _denom(var, eps, reference_compat)
+    xhat = (x.astype(g.dtype) - mean) / denom
+    g_mean, _ = _group_stats_nhwc(g, g.shape[-1], group_size)
+    gx_mean, _ = _group_stats_nhwc(g * xhat, g.shape[-1], group_size)
+    dx = (g - g_mean - xhat * gx_mean) / denom
+    return (dx.astype(x.dtype),)
+
+
+group_norm_nhwc.defvjp(_group_norm_nhwc_fwd, _group_norm_nhwc_bwd)
