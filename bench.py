@@ -167,7 +167,10 @@ def _loop_time_from_trace(run_once):
         return None
     best = 0
     for e in events:
-        if (e.get("ph") == "X" and e.get("name") == "while"
+        name = e.get("name", "")
+        # XLA names the loop "while" or "while.<id>" depending on graph
+        if (e.get("ph") == "X"
+                and (name == "while" or name.startswith("while."))
                 and "device" in str(pids.get(e.get("pid"), "")).lower()):
             best = max(best, e["dur"])
     return best * 1e-6 if best else None
@@ -321,6 +324,32 @@ def bench_mnist_nn(iters=2048):
     return cfg.batch_size / dt
 
 
+def bench_unet_step(iters=64):
+    """cifar_unet (reference-scale DDPM U-Net, batch 16, bf16 mixed
+    precision) ms/step: device time of the ``train_chunk`` scan's while loop
+    (fwd + bwd + Adam). The K=64 chunk matches the layout-decision
+    measurements in BASELINE.md so the compile is persistently cached."""
+    from big_linear_algebra_tpu.models import cifar_unet as cu
+
+    cfg = cu.CONFIG
+    rng = np.random.default_rng(0)
+    params = cu.init_params(jax.random.key(0), cfg)
+    xs = jnp.asarray(rng.standard_normal(
+        (iters, cfg.batch_size, 3, 32, 32)) * 0.5, jnp.float32)
+    keys = jax.random.split(jax.random.key(1), iters)
+    opt = cu.adam_init(params)
+    fn = jax.jit(lambda p, o, x, k: cu.train_chunk(p, o, x, k, cfg))
+    _, _, losses = fn(params, opt, xs, keys)
+    jax.block_until_ready(losses)  # warm/compile (persistently cached)
+
+    def run_once():
+        _, _, l = fn(params, opt, xs, keys)
+        jax.block_until_ready(l)
+
+    dt = _loop_time_from_trace(run_once)
+    return dt / iters * 1e3 if dt else None
+
+
 def main():
     peak = roofline_bf16()
     chain_rate = bench_pallas_matmul()
@@ -342,6 +371,10 @@ def main():
             extras["flash_attention_bwd_bf16_gflops"] = round(
                 flash_bwd / 1e9, 1)
         extras["mnist_nn_images_per_sec"] = round(bench_mnist_nn(), 1)
+        unet_ms = bench_unet_step()
+        if unet_ms:
+            extras["unet_train_ms_per_step"] = round(unet_ms, 3)
+            extras["unet_images_per_sec"] = round(16 / unet_ms * 1e3, 1)
     except Exception as e:  # pragma: no cover - keep the primary metric alive
         extras["extras_error"] = repr(e)
     result = {
