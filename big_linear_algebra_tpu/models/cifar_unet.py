@@ -811,7 +811,16 @@ def sample(params, key, cfg: Config = CONFIG, num_samples: int = 1):
 
 
 def _cfg_from_flags(flags) -> Config:
-    return TINY if "tiny" in (flags or {}) else CONFIG
+    cfg = TINY if "tiny" in (flags or {}) else CONFIG
+    flags = flags or {}
+    if flags.get("batch"):
+        cfg = dataclasses.replace(cfg, batch_size=int(flags["batch"]))
+    if flags.get("layout"):
+        layout = str(flags["layout"]).upper()
+        if layout not in ("NCHW", "NHWC"):
+            raise ValueError(f"--layout must be NCHW or NHWC, got {layout}")
+        cfg = dataclasses.replace(cfg, layout=layout)
+    return cfg
 
 
 def init(flags=None) -> None:
@@ -997,7 +1006,8 @@ def main(argv=None) -> int:
         train_usage="train <num epochs>",
         run_usage="run [<num samples> (default 1)]",
         extra_flags=("dp", "tp", "tiny", "max-steps", "scan-steps",
-                     "host-loop", "sample-seed", "keep", "keep-best"),
+                     "host-loop", "sample-seed", "keep", "keep-best",
+                     "batch", "layout"),
     )
 
 

@@ -414,6 +414,10 @@ def _dp_mesh(flags, cfg: Config):
 
 
 def train(num_epochs: int, *args, flags=None, cfg: Config = CONFIG) -> None:
+    if (flags or {}).get("batch"):
+        # --batch=N: scale past the reference's 64 (model/mnist_nn.c:11) —
+        # the per-step GEMMs are far below MXU saturation at batch 64
+        cfg = dataclasses.replace(cfg, batch_size=int(flags["batch"]))
     train_csv, _ = synth.ensure_mnist(str(common.data_dir()))
     if layout_exists(str(ckpt_dir()), _LAYOUT):
         params = load_params_csv()   # training IS resume (mnist_nn.c:165-170)
@@ -495,7 +499,7 @@ def run(num_predictions: int = -1, flags=None, cfg: Config = CONFIG) -> None:
 
 def main(argv=None) -> int:
     return common.run_cli("mnist_nn", init, train, run, argv=argv,
-                          extra_flags=("dp", "per-batch"))
+                          extra_flags=("dp", "per-batch", "batch"))
 
 
 if __name__ == "__main__":

@@ -80,9 +80,28 @@ def _gn_fwd_impl(x, group_size, eps, reference_compat):
 
 
 def _group_mean(t, group_size):
-    """Mean over each channel group's (gs, H, W) block, broadcast back."""
-    mean, _ = _group_stats(t, t.shape[-3], group_size)
-    return mean
+    """Mean over each channel group's (gs, H, W) block, broadcast back.
+
+    Mean ONLY — the backward calls this twice per GN and must not pay the
+    variance sweep ``_group_stats`` would also do (the GN chains are ~70% of
+    the U-Net step's device time; every HBM sweep here is visible)."""
+    channels = t.shape[-3]
+    *lead, c, h, w = t.shape
+    n_groups = -(-channels // group_size)
+    pad_c = n_groups * group_size - channels
+    tp = jnp.pad(t, [(0, 0)] * len(lead) + [(0, pad_c), (0, 0), (0, 0)])
+    tg = tp.reshape(*lead, n_groups, group_size, h, w)
+    if pad_c:
+        mask = jnp.concatenate(
+            [jnp.ones((channels,), t.dtype), jnp.zeros((pad_c,), t.dtype)]
+        ).reshape(n_groups, group_size, 1, 1)
+        counts = mask.sum(axis=1, keepdims=True) * h * w
+        mean = (tg * mask).sum(axis=(-3, -2, -1), keepdims=True) / counts
+    else:
+        mean = tg.mean(axis=(-3, -2, -1), keepdims=True)
+    return jnp.broadcast_to(
+        mean, (*lead, n_groups, group_size, 1, 1)
+    ).reshape(*lead, n_groups * group_size, 1, 1)[..., :channels, :, :]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
@@ -166,13 +185,34 @@ def _group_norm_nhwc_fwd(x, group_size, eps, reference_compat):
     return out, (x, mean, var)
 
 
+def _group_mean_nhwc(t, group_size):
+    """Mean-only twin of ``_group_mean`` for (..., H, W, C) — the backward
+    must not pay ``_group_stats_nhwc``'s discarded variance sweep."""
+    *lead, h, w, c = t.shape
+    n_groups = -(-c // group_size)
+    pad_c = n_groups * group_size - c
+    tp = jnp.pad(t, [(0, 0)] * len(lead) + [(0, 0), (0, 0), (0, pad_c)])
+    tg = tp.reshape(*lead, h, w, n_groups, group_size)
+    if pad_c:
+        mask = jnp.concatenate(
+            [jnp.ones((c,), t.dtype), jnp.zeros((pad_c,), t.dtype)]
+        ).reshape(1, 1, n_groups, group_size)
+        counts = mask.sum(axis=-1, keepdims=True) * h * w
+        mean = (tg * mask).sum(axis=(-4, -3, -1), keepdims=True) / counts
+    else:
+        mean = tg.mean(axis=(-4, -3, -1), keepdims=True)
+    return jnp.broadcast_to(
+        mean, (*lead, 1, 1, n_groups, group_size)
+    ).reshape(*lead, 1, 1, n_groups * group_size)[..., :c]
+
+
 def _group_norm_nhwc_bwd(group_size, eps, reference_compat, res, g):
     x, mean, var = res
     g = g.astype(_stat_dtype(x.dtype))
     denom = _denom(var, eps, reference_compat)
     xhat = (x.astype(g.dtype) - mean) / denom
-    g_mean, _ = _group_stats_nhwc(g, g.shape[-1], group_size)
-    gx_mean, _ = _group_stats_nhwc(g * xhat, g.shape[-1], group_size)
+    g_mean = _group_mean_nhwc(g, group_size)
+    gx_mean = _group_mean_nhwc(g * xhat, group_size)
     dx = (g - g_mean - xhat * gx_mean) / denom
     return (dx.astype(x.dtype),)
 

@@ -156,6 +156,14 @@ def test_unet_grad_layout_parity(rng):
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
 
 
+def test_cfg_flags_batch_and_layout():
+    cfg = cu._cfg_from_flags({"tiny": True, "batch": "8", "layout": "nhwc"})
+    assert cfg.batch_size == 8 and cfg.layout == "NHWC"
+    assert cu._cfg_from_flags({"tiny": True}).layout == "NCHW"
+    with pytest.raises(ValueError):
+        cu._cfg_from_flags({"layout": "NCWH"})
+
+
 def test_unet_train_step_nhwc_learns(rng):
     cfg = dataclasses.replace(cu.TINY, layout="NHWC")
     params = cu.init_params(jax.random.key(0), cfg)
