@@ -350,13 +350,19 @@ def load_params_csv(cfg: Config = CONFIG,
 def time_embedding(t: jax.Array, cfg: Config) -> jax.Array:
     """Sinusoidal timestep embedding (Ho et al. 2020 §B) → ReLU. The
     reference allocates but never fills ``d->time_embedding`` (:532-535,
-    SURVEY.md §7.11); the comment at :168 records the ReLU intent."""
+    SURVEY.md §7.11); the comment at :168 records the ReLU intent.
+
+    Internals run at ≥f32; the f64 parity mode computes in f64 — an f32
+    sin/cos seed here perturbs the whole net by ~1e-7 and the GN chain
+    amplifies that ~1e3×, which would swamp f64 parity tests."""
     half = cfg.time_embed_dim // 2
+    dt = (jnp.float64 if jnp.dtype(cfg.compute_dtype) == jnp.float64
+          else jnp.float32)
     freqs = jnp.exp(
-        -jnp.log(10000.0) * jnp.arange(half, dtype=jnp.float32)
+        -jnp.log(10000.0) * jnp.arange(half, dtype=dt)
         / max(half - 1, 1)
     )
-    ang = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    ang = t.astype(dt)[:, None] * freqs[None, :]
     emb = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
     return relu(emb)
 
@@ -538,32 +544,42 @@ def split_params_stages(params):
     return [down, mid, up]
 
 
-def unet_pipeline_stages(cfg: Config = CONFIG):
+def unet_pipeline_stages(cfg: Config = CONFIG, train: bool = False):
     """The U-Net as three heterogeneous GPipe stages (SURVEY.md §2.4 PP row:
     "an optional shard_map-based stage splitter for the U-Net down/mid/up
     stages"; reference sequential layers model/cifar_unet.c:1099-1165).
 
     Returns ``stage_fns`` for ``parallel.pipeline.gpipe_hetero``: boundary 0
     is ``(x, t_float)``; skips and the time embedding travel through the
-    pipeline as part of the boundary payload. Deterministic (inference)
-    mode — dropout off, as in the reference's forward."""
-    dt = jnp.dtype(cfg.compute_dtype)
-    dead = jax.random.key(0)  # dropout disabled: keys are never consumed
+    pipeline as part of the boundary payload.
 
-    def stage_down(p, boundary):
+    ``train=False``: deterministic (inference) stages ``(p, boundary)`` —
+    dropout off, as in the reference's forward. ``train=True``: stages take
+    ``(p, boundary, key)`` and run dropout with per-stage block keys split
+    from the per-(stage, microbatch) key ``gpipe_hetero(key=...)`` supplies;
+    a sequential reference reproduces the masks by applying the same
+    ``fold_in(key, stage·n_micro + micro)`` chain (see
+    tests/test_pipeline.py)."""
+    dt = jnp.dtype(cfg.compute_dtype)
+    dead = jax.random.key(0)  # inference mode: keys are never consumed
+
+    def stage_down(p, boundary, *key):
         x, t = boundary
+        keys = jax.random.split(key[0], 8) if train else [dead] * 8
         temb = time_embedding(t, cfg).astype(dt)
-        skips = _down_stage(p, x.astype(dt), temb, cfg, [dead] * 8, False)
+        skips = _down_stage(p, x.astype(dt), temb, cfg, keys, train)
         return skips + (temb,)
 
-    def stage_mid(p, boundary):
+    def stage_mid(p, boundary, *key):
         s1, s2, s3, s4, temb = boundary
-        h = _mid_stage(p, s4, temb, cfg, [dead] * 2, False)
+        keys = jax.random.split(key[0], 2) if train else [dead] * 2
+        h = _mid_stage(p, s4, temb, cfg, keys, train)
         return h, (s1, s2, s3, s4), temb
 
-    def stage_up(p, boundary):
+    def stage_up(p, boundary, *key):
         h, skips, temb = boundary
-        return _up_stage(p, h, skips, temb, cfg, [dead] * 8, False)
+        keys = jax.random.split(key[0], 8) if train else [dead] * 8
+        return _up_stage(p, h, skips, temb, cfg, keys, train)
 
     return [stage_down, stage_mid, stage_up]
 

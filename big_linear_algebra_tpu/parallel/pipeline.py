@@ -129,14 +129,15 @@ def _pack_to(tree, width, dtype):
     return jnp.pad(flat.astype(dtype), (0, width - flat.size))
 
 
-def _local_hetero(params_flat, xs_flat, *, axis, branches, n_micro):
+def _local_hetero(params_flat, xs_flat, key, *, axis, branches, n_micro):
     """Per-device body of the heterogeneous pipeline (inside shard_map).
 
     params_flat: (1, P) this stage's padded flat params; xs_flat: (n_micro, W)
-    packed stage-0 inputs, replicated. Same microbatch ring as
-    ``_local_pipeline`` but activations travel as padded flat buffers and
-    ``lax.switch`` on the device's stage index runs that stage's unpack →
-    compute → repack branch (only one branch executes per tick)."""
+    packed stage-0 inputs, replicated; ``key``: replicated base PRNG key or
+    None (inference). Same microbatch ring as ``_local_pipeline`` but
+    activations travel as padded flat buffers and ``lax.switch`` on the
+    device's stage index runs that stage's unpack → compute → repack branch
+    (only one branch executes per tick)."""
     pflat = params_flat[0]
     stage = jax.lax.axis_index(axis)
     n_stages = jax.lax.axis_size(axis)
@@ -149,7 +150,15 @@ def _local_hetero(params_flat, xs_flat, *, axis, branches, n_micro):
         x_t = xs_flat[jnp.clip(t, 0, n_micro - 1)]
         feed = jnp.where(t < n_micro, x_t, jnp.zeros_like(x_t))
         inp = jnp.where(stage == 0, feed, recv)
-        out = jax.lax.switch(stage, branches, inp, pflat)
+        if key is None:
+            out = jax.lax.switch(stage, branches, inp, pflat)
+        else:
+            # per-(stage, microbatch) key: on tick t this device runs
+            # microbatch t − stage (clipped on fill/drain ticks, where the
+            # result is discarded anyway)
+            micro = jnp.clip(t - stage, 0, n_micro - 1)
+            k_t = jax.random.fold_in(key, stage * n_micro + micro)
+            out = jax.lax.switch(stage, branches, inp, pflat, k_t)
         idx = t - (n_stages - 1)
         write = jnp.logical_and(stage == n_stages - 1, idx >= 0)
         outs = jnp.where(
@@ -168,16 +177,22 @@ def _local_hetero(params_flat, xs_flat, *, axis, branches, n_micro):
 
 
 def gpipe_hetero(stage_fns: Sequence[Callable], stage_params: Sequence,
-                 xs, mesh: Mesh, axis: str = "stage"):
+                 xs, mesh: Mesh, axis: str = "stage", key=None):
     """GPipe over stages with **arbitrary differing** activation/param shapes
     (e.g. the U-Net's down/mid/up stages, model/cifar_unet.c:1099-1165).
 
     - ``stage_fns[i]``: ``(params_i, boundary_i) -> boundary_{i+1}`` — any
       pytree-in / pytree-out pure function; boundary shapes are derived by
-      chaining ``jax.eval_shape``.
+      chaining ``jax.eval_shape``. With ``key`` given the signature is
+      ``(params_i, boundary_i, key_i) -> boundary_{i+1}`` instead.
     - ``stage_params[i]``: stage i's parameter pytree (any structure).
     - ``xs``: pytree whose leaves carry a leading ``n_micro`` microbatch dim;
       element ``t`` is the stage-0 input boundary.
+    - ``key``: optional base PRNG key enabling **training-mode** stages
+      (dropout etc.): stage ``s`` on microbatch ``m`` receives the
+      deterministic ``fold_in(key, s·n_micro + m)`` — reproducible by a
+      sequential reference applying the same fold, so pipeline-vs-sequential
+      parity holds exactly even with stochastic layers.
 
     Every boundary and every stage's params are raveled to flat buffers
     padded to the widest (activations to W, params to P), so all devices run
@@ -205,7 +220,12 @@ def gpipe_hetero(stage_fns: Sequence[Callable], stage_params: Sequence,
     b = jax.eval_shape(lambda t: jax.tree.map(lambda a: a[0], t), xs)
     boundaries = [b]
     for fn, p in zip(stage_fns, stage_params):
-        b = jax.eval_shape(fn, jax.eval_shape(lambda q: q, p), b)
+        p_shape = jax.eval_shape(lambda q: q, p)
+        if key is None:
+            b = jax.eval_shape(fn, p_shape, b)
+        else:
+            b = jax.eval_shape(fn, p_shape, b,
+                               jax.eval_shape(lambda k: k, key))
         boundaries.append(b)
 
     b_packs = [_flat_packer(bd) for bd in boundaries]
@@ -221,10 +241,10 @@ def gpipe_hetero(stage_fns: Sequence[Callable], stage_params: Sequence,
         pw, pdt, unravel_p = p_packs[i]
         fn = stage_fns[i]
 
-        def branch(flat_in, flat_p):
+        def branch(flat_in, flat_p, *k):
             x = unravel_in(flat_in[:w_in].astype(dt_in))
             p = unravel_p(flat_p[:pw].astype(pdt))
-            out = fn(p, x)
+            out = fn(p, x, *k)
             return _pack_to(out, width, dtype)
 
         return branch
@@ -237,17 +257,29 @@ def gpipe_hetero(stage_fns: Sequence[Callable], stage_params: Sequence,
         lambda t: _pack_to(jax.tree.map(lambda a: a[t], xs), width, dtype)
     )(jnp.arange(n_micro))  # (n_micro, W)
 
-    fn = shard_map(
-        functools.partial(_local_hetero, axis=axis, branches=branches,
-                          n_micro=n_micro),
-        mesh=mesh,
-        in_specs=(P(axis, None), P()),
-        out_specs=P(),
-        check_vma=False,
-    )
+    if key is None:
+        fn = shard_map(
+            functools.partial(_local_hetero, key=None, axis=axis,
+                              branches=branches, n_micro=n_micro),
+            mesh=mesh,
+            in_specs=(P(axis, None), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        args = (params_flat, xs_flat)
+    else:
+        fn = shard_map(
+            functools.partial(_local_hetero, axis=axis,
+                              branches=branches, n_micro=n_micro),
+            mesh=mesh,
+            in_specs=(P(axis, None), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        args = (params_flat, xs_flat, key)
     params_flat = jax.device_put(
         params_flat, NamedSharding(mesh, P(axis, None)))
-    outs_flat = fn(params_flat, xs_flat)
+    outs_flat = fn(*((params_flat,) + args[1:]))
 
     w_out, dt_out, unravel_out = b_packs[-1]
     return jax.vmap(

@@ -153,3 +153,85 @@ def test_gpipe_hetero_unet_stages(rng):
     # variance, lib/norm.c §7.5) amplifies the reordering noise through ~20
     # blocks — measured ≤1.2e-3 abs on O(0.3) outputs.
     np.testing.assert_allclose(got, want, rtol=1e-2, atol=2e-3)
+
+
+def test_gpipe_hetero_unet_training_mode(rng):
+    """Training-mode pipeline (dropout ON via per-(stage, microbatch) keys)
+    matches a sequential run of the stage fns given the SAME fold_in chain —
+    so the stochastic layers are reproducible across the two executions."""
+    from big_linear_algebra_tpu.models import cifar_unet as cu
+    from big_linear_algebra_tpu.parallel.pipeline import gpipe_hetero
+
+    import dataclasses
+    # f64: the keyed parity must be tight — any key mismatch flips ~10% of
+    # activations, while f64 reordering noise stays ≤1e-9 (f32 noise through
+    # the GN chain reaches 1e-2 and would mask a wrong key)
+    cfg = dataclasses.replace(cu.TINY, compute_dtype="float64")
+    mesh = make_mesh({"stage": 3}, devices=jax.devices()[:3])
+    params = jax.tree.map(lambda a: a.astype(jnp.float64),
+                          cu.init_params(jax.random.key(0), cu.TINY))
+    fns = cu.unet_pipeline_stages(cfg, train=True)
+    stage_params = cu.split_params_stages(params)
+
+    M, B = 3, 2
+    xs = jnp.asarray(
+        rng.standard_normal((M, B, 3, cfg.image_size, cfg.image_size)))
+    ts = jnp.asarray(rng.integers(0, cfg.timesteps, (M, B)), jnp.float64)
+    base = jax.random.key(7)
+
+    got = np.asarray(
+        gpipe_hetero(fns, stage_params, (xs, ts), mesh, key=base))
+
+    # Sequential reference: same stage fns, same fold_in(key, s*M + m) keys.
+    outs = []
+    for m in range(M):
+        b = (xs[m], ts[m])
+        for s, (fn, p) in enumerate(zip(fns, stage_params)):
+            b = fn(p, b, jax.random.fold_in(base, s * M + m))
+        outs.append(np.asarray(b))
+    want = np.stack(outs)
+    assert np.abs(want).max() > 0
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-8)
+
+
+def test_gpipe_hetero_training_mode_gradients(rng):
+    """Gradients flow through the keyed pipeline and match the sequential
+    chain with the same keys."""
+    from big_linear_algebra_tpu.models import cifar_unet as cu
+    from big_linear_algebra_tpu.parallel.pipeline import gpipe_hetero
+
+    import dataclasses
+    cfg = dataclasses.replace(cu.TINY, compute_dtype="float64")
+    mesh = make_mesh({"stage": 3}, devices=jax.devices()[:3])
+    params = jax.tree.map(lambda a: a.astype(jnp.float64),
+                          cu.init_params(jax.random.key(0), cu.TINY))
+    fns = cu.unet_pipeline_stages(cfg, train=True)
+    M, B = 3, 2
+    xs = jnp.asarray(
+        rng.standard_normal((M, B, 3, cfg.image_size, cfg.image_size)))
+    ts = jnp.asarray(rng.integers(0, cfg.timesteps, (M, B)), jnp.float64)
+    base = jax.random.key(7)
+
+    def loss_pipe(sp):
+        return jnp.sum(gpipe_hetero(fns, sp, (xs, ts), mesh, key=base) ** 2)
+
+    def loss_seq(sp):
+        tot = 0.0
+        for m in range(M):
+            b = (xs[m], ts[m])
+            for s, (fn, p) in enumerate(zip(fns, sp)):
+                b = fn(p, b, jax.random.fold_in(base, s * M + m))
+            tot = tot + jnp.sum(b ** 2)
+        return tot
+
+    sp = cu.split_params_stages(params)
+    g_pipe = jax.grad(loss_pipe)(sp)
+    g_seq = jax.grad(loss_seq)(sp)
+    flat_p = jax.tree_util.tree_leaves_with_path(g_pipe)
+    flat_s = dict(jax.tree_util.tree_leaves_with_path(g_seq))
+    for path, leaf in flat_p:
+        a, b = np.asarray(leaf), np.asarray(flat_s[path])
+        scale = max(np.abs(b).max(), 1e-12)
+        np.testing.assert_allclose(
+            a / scale, b / scale, rtol=0, atol=1e-7,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
