@@ -9,7 +9,9 @@ No NCCL/MPI/custom transport — XLA collectives only.
 
 from big_linear_algebra_tpu.parallel.mesh import (  # noqa: F401
     default_mesh,
+    distributed_init,
     local_device_count,
+    make_hybrid_mesh,
     make_mesh,
 )
 from big_linear_algebra_tpu.parallel.sharding import (  # noqa: F401

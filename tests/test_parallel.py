@@ -10,6 +10,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from big_linear_algebra_tpu.parallel import (
     batch_sharding,
     default_mesh,
+    distributed_init,
+    make_hybrid_mesh,
     make_mesh,
     replicate,
     shard_params_tp,
@@ -26,6 +28,22 @@ def test_make_mesh_shapes():
     assert mesh.devices.shape == (4, 2)
     with pytest.raises(ValueError):
         make_mesh({"data": 3})
+
+
+def test_distributed_init_single_host_noop():
+    # no coordinator configured → no-op, process 0 (SURVEY.md §5)
+    assert distributed_init() == 0
+    assert len(jax.devices()) == 8  # runtime untouched
+
+
+def test_make_hybrid_mesh_single_slice_fallback():
+    # all virtual CPU devices are one "slice": dcn axes must be 1 and the
+    # result is the flat (dcn..., ici...) mesh
+    mesh = make_hybrid_mesh({"dp_dcn": 1}, {"data": 4, "model": 2})
+    assert mesh.axis_names == ("dp_dcn", "data", "model")
+    assert mesh.devices.shape == (1, 4, 2)
+    with pytest.raises(ValueError):
+        make_hybrid_mesh({"dp_dcn": 2}, {"data": 4})
 
 
 def test_dp_training_step_matches_single_device(rng):
