@@ -98,6 +98,10 @@ class Config:
     # tokenization and skip concats become reshape-only). The external
     # interface (x, checkpoints, kernels) stays channels-first either way.
     layout: str = "NCHW"
+    # jax.checkpoint each resnet block: backward recomputes block
+    # activations from the boundary — trades ~1/3 more FLOPs for the
+    # activation memory of the whole block chain (bigger batches per HBM)
+    remat: bool = False
 
 
 CONFIG = Config()
@@ -386,7 +390,23 @@ def _gn_relu(x, cfg: Config, nhwc: bool = False):
 def _resnet_block(x, temb, p, cfg: Config, key, train: bool,
                   nhwc: bool = False):
     """GN→ReLU→conv3×3 → +time → GN→ReLU→dropout→conv3×3 + residual
-    (``_forward_resnet``, model/cifar_unet.c:1044-1072)."""
+    (``_forward_resnet``, model/cifar_unet.c:1044-1072).
+
+    With ``cfg.remat`` the block is wrapped in ``jax.checkpoint``: the
+    backward recomputes the block's activations from its boundary instead of
+    keeping them live — per-block activation memory drops from every
+    intermediate (2 GN, 2 ReLU, dropout mask, 2 conv inputs) to just the
+    boundary, trading ~⅓ more FLOPs for U-Net-depth × that saving."""
+    if cfg.remat:
+        fn = jax.checkpoint(functools.partial(
+            _resnet_block_body, cfg=cfg, train=train, nhwc=nhwc))
+        return fn(x, temb, p, key)
+    return _resnet_block_body(x, temb, p, key, cfg=cfg, train=train,
+                              nhwc=nhwc)
+
+
+def _resnet_block_body(x, temb, p, key, *, cfg: Config, train: bool,
+                       nhwc: bool):
     conv = conv2d_nhwc if nhwc else conv2d
     in_ch = x.shape[-1] if nhwc else x.shape[1]
     out_ch = p["conv_1"].shape[0]
@@ -836,6 +856,8 @@ def _cfg_from_flags(flags) -> Config:
         if layout not in ("NCHW", "NHWC"):
             raise ValueError(f"--layout must be NCHW or NHWC, got {layout}")
         cfg = dataclasses.replace(cfg, layout=layout)
+    if "remat" in flags:
+        cfg = dataclasses.replace(cfg, remat=True)
     return cfg
 
 
@@ -1023,7 +1045,7 @@ def main(argv=None) -> int:
         run_usage="run [<num samples> (default 1)]",
         extra_flags=("dp", "tp", "tiny", "max-steps", "scan-steps",
                      "host-loop", "sample-seed", "keep", "keep-best",
-                     "batch", "layout"),
+                     "batch", "layout", "remat"),
     )
 
 

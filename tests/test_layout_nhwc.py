@@ -164,6 +164,34 @@ def test_cfg_flags_batch_and_layout():
         cu._cfg_from_flags({"layout": "NCWH"})
 
 
+def test_unet_remat_grad_parity(rng):
+    """jax.checkpoint on the resnet blocks is semantics-preserving: loss and
+    parameter gradients match the non-remat graph (same ops recomputed in
+    the same order — f64 pins it tightly)."""
+    cfg = dataclasses.replace(cu.TINY, compute_dtype="float64")
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    params = jax.tree.map(lambda a: a.astype(jnp.float64),
+                          cu.init_params(jax.random.key(0), cu.TINY))
+    x0 = jnp.asarray(rng.standard_normal((2, 3, 32, 32)) * 0.5)
+    key = jax.random.key(3)
+    l_ref, g_ref = jax.value_and_grad(cu.loss_fn)(params, x0, key, cfg)
+    l_r, g_r = jax.value_and_grad(cu.loss_fn)(params, x0, key, cfg_r)
+    assert abs(float(l_ref) - float(l_r)) < 1e-12
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_r = dict(jax.tree_util.tree_leaves_with_path(g_r))
+    for path, leaf in flat_ref:
+        a, b = np.asarray(leaf), np.asarray(flat_r[path])
+        scale = max(np.abs(a).max(), 1e-12)
+        np.testing.assert_allclose(
+            b / scale, a / scale, rtol=0, atol=1e-9,
+            err_msg=f"remat grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_cfg_flag_remat():
+    assert cu._cfg_from_flags({"tiny": True, "remat": True}).remat
+    assert not cu._cfg_from_flags({"tiny": True}).remat
+
+
 def test_unet_train_step_nhwc_learns(rng):
     cfg = dataclasses.replace(cu.TINY, layout="NHWC")
     params = cu.init_params(jax.random.key(0), cfg)
