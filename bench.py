@@ -347,7 +347,11 @@ def bench_unet_step(iters=64):
         jax.block_until_ready(l)
 
     dt = _loop_time_from_trace(run_once)
-    return dt / iters * 1e3 if dt else None
+    if not dt:
+        return None
+    ms = dt / iters * 1e3
+    # images/sec derived from the SAME config the chunk ran with
+    return ms, cfg.batch_size
 
 
 def main():
@@ -371,10 +375,12 @@ def main():
             extras["flash_attention_bwd_bf16_gflops"] = round(
                 flash_bwd / 1e9, 1)
         extras["mnist_nn_images_per_sec"] = round(bench_mnist_nn(), 1)
-        unet_ms = bench_unet_step()
-        if unet_ms:
+        unet = bench_unet_step()
+        if unet:
+            unet_ms, unet_batch = unet
             extras["unet_train_ms_per_step"] = round(unet_ms, 3)
-            extras["unet_images_per_sec"] = round(16 / unet_ms * 1e3, 1)
+            extras["unet_images_per_sec"] = round(
+                unet_batch / unet_ms * 1e3, 1)
     except Exception as e:  # pragma: no cover - keep the primary metric alive
         extras["extras_error"] = repr(e)
     result = {

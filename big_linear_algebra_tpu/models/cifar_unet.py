@@ -62,8 +62,8 @@ from big_linear_algebra_tpu.nn import (
     self_attention_block_nhwc,
     xavier_uniform,
 )
-from big_linear_algebra_tpu.nn.attention import _mxu_precision
 from big_linear_algebra_tpu.nn.optim import AdamState, adam_init, adam_update
+from big_linear_algebra_tpu.ops.precision import mxu_precision as _mxu_precision
 from big_linear_algebra_tpu.ops import relu
 from big_linear_algebra_tpu.parallel import spmd
 
@@ -579,27 +579,46 @@ def unet_pipeline_stages(cfg: Config = CONFIG, train: bool = False):
     from the per-(stage, microbatch) key ``gpipe_hetero(key=...)`` supplies;
     a sequential reference reproduces the masks by applying the same
     ``fold_in(key, stage·n_micro + micro)`` chain (see
-    tests/test_pipeline.py)."""
+    tests/test_pipeline.py). The stage boundary is external-layout (NCHW);
+    ``cfg.layout="NHWC"`` transposes at pipeline entry/exit exactly like
+    ``forward``."""
     dt = jnp.dtype(cfg.compute_dtype)
+    nhwc = cfg.layout == "NHWC"
     dead = jax.random.key(0)  # inference mode: keys are never consumed
+
+    def _keys(key, n):
+        # loud mismatch errors: a silently-ignored key would run
+        # deterministic when the caller believes dropout is on
+        if train and not key:
+            raise ValueError(
+                "train=True pipeline stages need gpipe_hetero(..., key=...)")
+        if not train and key:
+            raise ValueError(
+                "inference stages got a key; build unet_pipeline_stages("
+                "cfg, train=True) for training-mode dropout")
+        return jax.random.split(key[0], n) if train else [dead] * n
 
     def stage_down(p, boundary, *key):
         x, t = boundary
-        keys = jax.random.split(key[0], 8) if train else [dead] * 8
+        keys = _keys(key, 8)
         temb = time_embedding(t, cfg).astype(dt)
-        skips = _down_stage(p, x.astype(dt), temb, cfg, keys, train)
+        x = x.astype(dt)
+        if nhwc:
+            x = x.transpose(0, 2, 3, 1)
+        skips = _down_stage(p, x, temb, cfg, keys, train, nhwc)
         return skips + (temb,)
 
     def stage_mid(p, boundary, *key):
         s1, s2, s3, s4, temb = boundary
-        keys = jax.random.split(key[0], 2) if train else [dead] * 2
-        h = _mid_stage(p, s4, temb, cfg, keys, train)
+        keys = _keys(key, 2)
+        h = _mid_stage(p, s4, temb, cfg, keys, train, nhwc)
         return h, (s1, s2, s3, s4), temb
 
     def stage_up(p, boundary, *key):
         h, skips, temb = boundary
-        keys = jax.random.split(key[0], 8) if train else [dead] * 8
-        return _up_stage(p, h, skips, temb, cfg, keys, train)
+        keys = _keys(key, 8)
+        out = _up_stage(p, h, skips, temb, cfg, keys, train, nhwc)
+        return out.transpose(0, 3, 1, 2) if nhwc else out
 
     return [stage_down, stage_mid, stage_up]
 
@@ -849,12 +868,14 @@ def sample(params, key, cfg: Config = CONFIG, num_samples: int = 1):
 def _cfg_from_flags(flags) -> Config:
     cfg = TINY if "tiny" in (flags or {}) else CONFIG
     flags = flags or {}
-    if flags.get("batch"):
-        cfg = dataclasses.replace(cfg, batch_size=int(flags["batch"]))
-    if flags.get("layout"):
+    if "batch" in flags:
+        cfg = dataclasses.replace(
+            cfg, batch_size=common.positive_int_flag(flags, "batch"))
+    if "layout" in flags:
         layout = str(flags["layout"]).upper()
         if layout not in ("NCHW", "NHWC"):
-            raise ValueError(f"--layout must be NCHW or NHWC, got {layout}")
+            raise ValueError(
+                f"--layout must be NCHW or NHWC, got {flags['layout']!r}")
         cfg = dataclasses.replace(cfg, layout=layout)
     if "remat" in flags:
         cfg = dataclasses.replace(cfg, remat=True)

@@ -100,6 +100,23 @@ def parse_flags(argv: List[str]):
 _BASE_FLAGS = frozenset({"profile", "jsonl", "debug-nans", "disable-jit"})
 
 
+def positive_int_flag(flags, name: str) -> int:
+    """Parse ``--name=N`` as a positive int; a bare ``--name`` (empty value)
+    or a non-positive value is a hard error — same policy as unknown flags
+    (silently falling back to a default would e.g. record batch-scaling
+    numbers at the wrong batch)."""
+    raw = flags.get(name, "")
+    try:
+        value = int(raw)
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"--{name} needs an integer value, e.g. --{name}=64 "
+            f"(got {raw!r})") from None
+    if value <= 0:
+        raise ValueError(f"--{name} must be positive, got {value}")
+    return value
+
+
 def run_cli(prog: str,
             init_fn: Callable[..., None],
             train_fn: Callable[..., None],

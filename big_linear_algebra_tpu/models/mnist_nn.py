@@ -414,10 +414,11 @@ def _dp_mesh(flags, cfg: Config):
 
 
 def train(num_epochs: int, *args, flags=None, cfg: Config = CONFIG) -> None:
-    if (flags or {}).get("batch"):
+    if "batch" in (flags or {}):
         # --batch=N: scale past the reference's 64 (model/mnist_nn.c:11) —
         # the per-step GEMMs are far below MXU saturation at batch 64
-        cfg = dataclasses.replace(cfg, batch_size=int(flags["batch"]))
+        cfg = dataclasses.replace(
+            cfg, batch_size=common.positive_int_flag(flags, "batch"))
     train_csv, _ = synth.ensure_mnist(str(common.data_dir()))
     if layout_exists(str(ckpt_dir()), _LAYOUT):
         params = load_params_csv()   # training IS resume (mnist_nn.c:165-170)

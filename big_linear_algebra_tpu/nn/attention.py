@@ -93,12 +93,9 @@ attention_dense.defvjp(_attention_dense_fwd, _attention_dense_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _mxu_precision(dtype):
-    """bf16 operands: native MXU path; f32: HIGHEST (no silent bf16
-    truncation) — the same policy as ops/matmul.py."""
-    if jnp.dtype(dtype) == jnp.bfloat16:
-        return jax.lax.Precision.DEFAULT
-    return jax.lax.Precision.HIGHEST
+# Shared MXU input-precision policy (ops/precision.py): bf16 native path,
+# f32 HIGHEST — no silent bf16 truncation.
+from big_linear_algebra_tpu.ops.precision import mxu_precision as _mxu_precision  # noqa: E501,E402
 
 
 _LOG2E = math.log2(math.e)
@@ -518,14 +515,8 @@ def self_attention_block(x: jax.Array, params) -> jax.Array:
     ``params``: dict with q/k/v (C, key_dim), w (key_dim, C), b (C,).
     """
     b, c, h, w = x.shape
-    prec = _mxu_precision(x.dtype)
     tokens = x.reshape(b, c, h * w).transpose(0, 2, 1)   # (B, HW, C)
-    q = jnp.einsum("bnc,ck->bnk", tokens, params["q"], precision=prec)
-    k = jnp.einsum("bnc,ck->bnk", tokens, params["k"], precision=prec)
-    v = jnp.einsum("bnc,ck->bnk", tokens, params["v"], precision=prec)
-    att = attention(q, k, v)                             # (B, HW, key_dim)
-    out = jnp.einsum("bnk,kc->bnc", att, params["w"],
-                     precision=prec) + params["b"]
+    out = _attention_core(tokens, params)
     return out.transpose(0, 2, 1).reshape(b, c, h, w)
 
 
@@ -534,12 +525,18 @@ def self_attention_block_nhwc(x: jax.Array, params) -> jax.Array:
     plain reshape (no transpose — C already trails), so the block is two
     fewer HBM-sweep transposes than the NCHW version."""
     b, h, w, c = x.shape
-    prec = _mxu_precision(x.dtype)
     tokens = x.reshape(b, h * w, c)                      # (B, HW, C)
+    return _attention_core(tokens, params).reshape(b, h, w, c)
+
+
+def _attention_core(tokens: jax.Array, params) -> jax.Array:
+    """(B, N, C) → (B, N, C): q/k/v projections → attention → output dense
+    with bias. The shared body of both layout wrappers — explicit MXU
+    precision so f32 mode never silently truncates to bf16."""
+    prec = _mxu_precision(tokens.dtype)
     q = jnp.einsum("bnc,ck->bnk", tokens, params["q"], precision=prec)
     k = jnp.einsum("bnc,ck->bnk", tokens, params["k"], precision=prec)
     v = jnp.einsum("bnc,ck->bnk", tokens, params["v"], precision=prec)
-    att = attention(q, k, v)                             # (B, HW, key_dim)
-    out = jnp.einsum("bnk,kc->bnc", att, params["w"],
-                     precision=prec) + params["b"]
-    return out.reshape(b, h, w, c)
+    att = attention(q, k, v)                             # (B, N, key_dim)
+    return jnp.einsum("bnk,kc->bnc", att, params["w"],
+                      precision=prec) + params["b"]

@@ -33,16 +33,12 @@ import jax.numpy as jnp
 DIMS = ("NCHW", "OIHW", "NCHW")
 
 
-def _conv_precision(dtype):
-    """Same MXU input-precision policy as ops/matmul.py: f32 operands use
-    Precision.HIGHEST (multi-pass fp32 emulation — without it the TPU
-    truncates conv inputs to bf16, breaking the 1e-5 parity contract);
-    bf16 operands use the native fast path. Models that prefer speed over
-    f32-parity cast their activations/kernels to bf16 (e.g. the cifar_unet
-    ``compute_dtype`` config)."""
-    if jnp.dtype(dtype) == jnp.bfloat16:
-        return jax.lax.Precision.DEFAULT
-    return jax.lax.Precision.HIGHEST
+# Shared MXU input-precision policy (ops/precision.py): f32 conv operands
+# use HIGHEST (multi-pass fp32 emulation — the TPU default would truncate
+# them to bf16, breaking the 1e-5 parity contract); bf16 takes the native
+# fast path. Models that prefer speed cast to bf16 (cifar_unet
+# ``compute_dtype``).
+from big_linear_algebra_tpu.ops.precision import mxu_precision as _conv_precision  # noqa: E501
 
 
 def same_padding(in_size: int, kernel: int, stride: int) -> Tuple[int, int]:

@@ -31,34 +31,71 @@ import jax
 import jax.numpy as jnp
 
 
+def _masked_stats(xg, mask, axes, counts, with_var):
+    """The one place the group mean/variance formulas live: reduce ``xg``
+    over ``axes`` with an optional ragged-group ``mask`` (1 = real channel)
+    and precomputed valid-element ``counts``. Every layout/direction helper
+    (fwd stats, bwd means, NCHW and NHWC) routes through this, so the
+    backward's mean convention is the forward's by construction."""
+    if mask is None:
+        mean = xg.mean(axis=axes, keepdims=True)
+        var = (((xg - mean) ** 2).mean(axis=axes, keepdims=True)
+               if with_var else None)
+    else:
+        mean = (xg * mask).sum(axis=axes, keepdims=True) / counts
+        var = ((((xg - mean) ** 2) * mask).sum(axis=axes, keepdims=True)
+               / counts if with_var else None)
+    return mean, var
+
+
+def _group_reduce(x, group_size, with_var, nhwc):
+    """Per-channel-group stats broadcast back per channel.
+
+    NCHW (``nhwc=False``): x (..., C, H, W) → stats (..., C, 1, 1).
+    NHWC (``nhwc=True``):  x (..., H, W, C) → stats (..., 1, 1, C).
+    Ragged groups (C not divisible by group_size) follow the reference's
+    ``num_in_this_group`` clamp (lib/norm.c:8-11). Returns (mean, var);
+    ``var`` is None when ``with_var`` is False (the backward's mean-only
+    sweeps must not pay a discarded variance)."""
+    if nhwc:
+        *lead, h, w, c = x.shape
+    else:
+        *lead, c, h, w = x.shape
+    n_groups = -(-c // group_size)
+    pad_c = n_groups * group_size - c
+    mask = counts = None
+    if pad_c:
+        flags = jnp.concatenate(
+            [jnp.ones((c,), x.dtype), jnp.zeros((pad_c,), x.dtype)])
+    if nhwc:
+        xp = jnp.pad(x, [(0, 0)] * len(lead) + [(0, 0), (0, 0), (0, pad_c)])
+        xg = xp.reshape(*lead, h, w, n_groups, group_size)
+        axes = (-4, -3, -1)
+        if pad_c:
+            mask = flags.reshape(1, 1, n_groups, group_size)
+            counts = mask.sum(axis=-1, keepdims=True) * h * w
+        bshape = (*lead, 1, 1, n_groups, group_size)
+        unpad = lambda s: s.reshape(*lead, 1, 1, n_groups * group_size)[..., :c]  # noqa: E731,E501
+    else:
+        xp = jnp.pad(x, [(0, 0)] * len(lead) + [(0, pad_c), (0, 0), (0, 0)])
+        xg = xp.reshape(*lead, n_groups, group_size, h, w)
+        axes = (-3, -2, -1)
+        if pad_c:
+            mask = flags.reshape(n_groups, group_size, 1, 1)
+            counts = mask.sum(axis=1, keepdims=True) * h * w
+        bshape = (*lead, n_groups, group_size, 1, 1)
+        unpad = lambda s: s.reshape(*lead, n_groups * group_size, 1, 1)[..., :c, :, :]  # noqa: E731,E501
+    mean, var = _masked_stats(xg, mask, axes, counts, with_var)
+    bmean = unpad(jnp.broadcast_to(mean, bshape))
+    bvar = unpad(jnp.broadcast_to(var, bshape)) if with_var else None
+    return bmean, bvar
+
+
 def _group_stats(x, channels, group_size):
     """Per-group mean/variance. x: (..., C, H, W) → stats (..., C, 1, 1)
-    broadcast per channel, plus raw per-group arrays."""
-    *lead, c, h, w = x.shape
-    assert c == channels
-    n_groups = -(-channels // group_size)
-    pad_c = n_groups * group_size - channels
-    xp = jnp.pad(x, [(0, 0)] * len(lead) + [(0, pad_c), (0, 0), (0, 0)])
-    xg = xp.reshape(*lead, n_groups, group_size, h, w)
-    if pad_c:
-        mask = jnp.concatenate(
-            [jnp.ones((channels,), x.dtype), jnp.zeros((pad_c,), x.dtype)]
-        ).reshape(n_groups, group_size, 1, 1)
-        counts = mask.sum(axis=1, keepdims=True) * h * w
-        mean = (xg * mask).sum(axis=(-3, -2, -1), keepdims=True) / counts
-        var = (((xg - mean) ** 2) * mask).sum(
-            axis=(-3, -2, -1), keepdims=True) / counts
-    else:
-        mean = xg.mean(axis=(-3, -2, -1), keepdims=True)
-        var = ((xg - mean) ** 2).mean(axis=(-3, -2, -1), keepdims=True)
-    # broadcast back to per-channel (..., C, 1, 1)
-    bmean = jnp.broadcast_to(
-        mean, (*lead, n_groups, group_size, 1, 1)
-    ).reshape(*lead, n_groups * group_size, 1, 1)[..., :channels, :, :]
-    bvar = jnp.broadcast_to(
-        var, (*lead, n_groups, group_size, 1, 1)
-    ).reshape(*lead, n_groups * group_size, 1, 1)[..., :channels, :, :]
-    return bmean, bvar
+    broadcast per channel."""
+    assert x.shape[-3] == channels
+    return _group_reduce(x, group_size, True, False)
 
 
 def _denom(var, eps, reference_compat):
@@ -80,28 +117,10 @@ def _gn_fwd_impl(x, group_size, eps, reference_compat):
 
 
 def _group_mean(t, group_size):
-    """Mean over each channel group's (gs, H, W) block, broadcast back.
-
-    Mean ONLY — the backward calls this twice per GN and must not pay the
-    variance sweep ``_group_stats`` would also do (the GN chains are ~70% of
-    the U-Net step's device time; every HBM sweep here is visible)."""
-    channels = t.shape[-3]
-    *lead, c, h, w = t.shape
-    n_groups = -(-channels // group_size)
-    pad_c = n_groups * group_size - channels
-    tp = jnp.pad(t, [(0, 0)] * len(lead) + [(0, pad_c), (0, 0), (0, 0)])
-    tg = tp.reshape(*lead, n_groups, group_size, h, w)
-    if pad_c:
-        mask = jnp.concatenate(
-            [jnp.ones((channels,), t.dtype), jnp.zeros((pad_c,), t.dtype)]
-        ).reshape(n_groups, group_size, 1, 1)
-        counts = mask.sum(axis=1, keepdims=True) * h * w
-        mean = (tg * mask).sum(axis=(-3, -2, -1), keepdims=True) / counts
-    else:
-        mean = tg.mean(axis=(-3, -2, -1), keepdims=True)
-    return jnp.broadcast_to(
-        mean, (*lead, n_groups, group_size, 1, 1)
-    ).reshape(*lead, n_groups * group_size, 1, 1)[..., :channels, :, :]
+    """Mean over each channel group's (gs, H, W) block, broadcast back —
+    mean ONLY (the backward calls this twice per GN and must not pay a
+    discarded variance sweep)."""
+    return _group_reduce(t, group_size, False, False)[0]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
@@ -139,30 +158,8 @@ group_norm.defvjp(_group_norm_fwd, _group_norm_bwd)
 
 def _group_stats_nhwc(x, channels, group_size):
     """x: (..., H, W, C) → per-channel broadcast stats (..., 1, 1, C)."""
-    *lead, h, w, c = x.shape
-    assert c == channels
-    n_groups = -(-channels // group_size)
-    pad_c = n_groups * group_size - channels
-    xp = jnp.pad(x, [(0, 0)] * len(lead) + [(0, 0), (0, 0), (0, pad_c)])
-    xg = xp.reshape(*lead, h, w, n_groups, group_size)
-    if pad_c:
-        mask = jnp.concatenate(
-            [jnp.ones((channels,), x.dtype), jnp.zeros((pad_c,), x.dtype)]
-        ).reshape(1, 1, n_groups, group_size)
-        counts = mask.sum(axis=-1, keepdims=True) * h * w
-        mean = (xg * mask).sum(axis=(-4, -3, -1), keepdims=True) / counts
-        var = (((xg - mean) ** 2) * mask).sum(
-            axis=(-4, -3, -1), keepdims=True) / counts
-    else:
-        mean = xg.mean(axis=(-4, -3, -1), keepdims=True)
-        var = ((xg - mean) ** 2).mean(axis=(-4, -3, -1), keepdims=True)
-    bmean = jnp.broadcast_to(
-        mean, (*lead, 1, 1, n_groups, group_size)
-    ).reshape(*lead, 1, 1, n_groups * group_size)[..., :channels]
-    bvar = jnp.broadcast_to(
-        var, (*lead, 1, 1, n_groups, group_size)
-    ).reshape(*lead, 1, 1, n_groups * group_size)[..., :channels]
-    return bmean, bvar
+    assert x.shape[-1] == channels
+    return _group_reduce(x, group_size, True, True)
 
 
 def _gn_nhwc_fwd_impl(x, group_size, eps, reference_compat):
@@ -186,24 +183,8 @@ def _group_norm_nhwc_fwd(x, group_size, eps, reference_compat):
 
 
 def _group_mean_nhwc(t, group_size):
-    """Mean-only twin of ``_group_mean`` for (..., H, W, C) — the backward
-    must not pay ``_group_stats_nhwc``'s discarded variance sweep."""
-    *lead, h, w, c = t.shape
-    n_groups = -(-c // group_size)
-    pad_c = n_groups * group_size - c
-    tp = jnp.pad(t, [(0, 0)] * len(lead) + [(0, 0), (0, 0), (0, pad_c)])
-    tg = tp.reshape(*lead, h, w, n_groups, group_size)
-    if pad_c:
-        mask = jnp.concatenate(
-            [jnp.ones((c,), t.dtype), jnp.zeros((pad_c,), t.dtype)]
-        ).reshape(1, 1, n_groups, group_size)
-        counts = mask.sum(axis=-1, keepdims=True) * h * w
-        mean = (tg * mask).sum(axis=(-4, -3, -1), keepdims=True) / counts
-    else:
-        mean = tg.mean(axis=(-4, -3, -1), keepdims=True)
-    return jnp.broadcast_to(
-        mean, (*lead, 1, 1, n_groups, group_size)
-    ).reshape(*lead, 1, 1, n_groups * group_size)[..., :c]
+    """Mean-only twin of ``_group_mean`` for (..., H, W, C)."""
+    return _group_reduce(t, group_size, False, True)[0]
 
 
 def _group_norm_nhwc_bwd(group_size, eps, reference_compat, res, g):

@@ -169,15 +169,10 @@ def _choose_blocks(m: int, n: int, k: int, itemsize: int):
     return bm, bn, min(bk, kp)
 
 
-def _mxu_precision(dtype):
-    """MXU input-precision policy: bf16 inputs use the native bf16 MXU path
-    (peak throughput); float32 inputs use Precision.HIGHEST so the MXU's
-    multi-pass fp32 emulation preserves full float32 multiplicands — with the
-    TPU default, f32 operands would be truncated to bf16, which breaks the
-    1e-5 gradient-parity contract (BASELINE.md)."""
-    if jnp.dtype(dtype) == jnp.bfloat16:
-        return jax.lax.Precision.DEFAULT
-    return jax.lax.Precision.HIGHEST
+# MXU input-precision policy (shared library-wide; f32 must use HIGHEST so
+# the TPU never silently truncates it to bf16 — the 1e-5 gradient-parity
+# contract in BASELINE.md depends on it)
+from big_linear_algebra_tpu.ops.precision import mxu_precision as _mxu_precision  # noqa: E501,E402
 
 
 def _pallas_mm(a, b, variant: Variant, block, out_dtype,

@@ -65,9 +65,20 @@ def distributed_init(coordinator_address: Optional[str] = None,
     if already is not None and jax.distributed.is_initialized():
         return jax.process_index()
     import os
-    implicit = any(v in os.environ for v in (
-        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS"))
-    if coordinator_address is None and num_processes is None and not implicit:
+
+    def _multi_host_env() -> bool:
+        # Cloud TPU pods export worker topology; jax.distributed.initialize
+        # auto-discovers peers from it with no explicit coordinator. GKE /
+        # manual launches set a coordinator address instead.
+        hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        if len([h for h in hosts.split(",") if h]) > 1:
+            return True
+        return any(v in os.environ for v in (
+            "COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS",
+            "JAX_COORDINATION_SERVICE_ADDRESS"))
+
+    if (coordinator_address is None and num_processes is None
+            and not _multi_host_env()):
         return 0  # single-host: nothing to initialize
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,

@@ -162,6 +162,13 @@ def test_cfg_flags_batch_and_layout():
     assert cu._cfg_from_flags({"tiny": True}).layout == "NCHW"
     with pytest.raises(ValueError):
         cu._cfg_from_flags({"layout": "NCWH"})
+    # bare / empty / non-positive values are hard errors, not silent defaults
+    with pytest.raises(ValueError):
+        cu._cfg_from_flags({"batch": ""})
+    with pytest.raises(ValueError):
+        cu._cfg_from_flags({"batch": "0"})
+    with pytest.raises(ValueError):
+        cu._cfg_from_flags({"layout": ""})
 
 
 def test_unet_remat_grad_parity(rng):

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from big_linear_algebra_tpu.parallel import make_mesh
 from big_linear_algebra_tpu.parallel.pipeline import gpipe
@@ -192,6 +193,51 @@ def test_gpipe_hetero_unet_training_mode(rng):
     want = np.stack(outs)
     assert np.abs(want).max() > 0
     np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-8)
+
+
+def test_gpipe_hetero_key_mismatch_errors(rng):
+    """train=True without a key, or a key on inference stages, fails loudly
+    instead of silently running the wrong dropout mode."""
+    from big_linear_algebra_tpu.models import cifar_unet as cu
+    from big_linear_algebra_tpu.parallel.pipeline import gpipe_hetero
+
+    cfg = cu.TINY
+    mesh = make_mesh({"stage": 3}, devices=jax.devices()[:3])
+    params = cu.init_params(jax.random.key(0), cfg)
+    sp = cu.split_params_stages(params)
+    xs = jnp.asarray(rng.standard_normal((2, 1, 3, 32, 32)), jnp.float32)
+    ts = jnp.zeros((2, 1), jnp.float32)
+
+    with pytest.raises(ValueError, match="key"):
+        gpipe_hetero(cu.unet_pipeline_stages(cfg, train=True), sp,
+                     (xs, ts), mesh)
+    with pytest.raises(ValueError, match="train=True"):
+        gpipe_hetero(cu.unet_pipeline_stages(cfg, train=False), sp,
+                     (xs, ts), mesh, key=jax.random.key(0))
+
+
+def test_gpipe_hetero_unet_nhwc_layout(rng):
+    """cfg.layout="NHWC" is honored by the pipeline stages (boundary stays
+    external NCHW; transpose happens at entry/exit like forward())."""
+    import dataclasses
+    from big_linear_algebra_tpu.models import cifar_unet as cu
+    from big_linear_algebra_tpu.parallel.pipeline import gpipe_hetero
+
+    cfg_c = dataclasses.replace(cu.TINY, compute_dtype="float64")
+    cfg_h = dataclasses.replace(cfg_c, layout="NHWC")
+    mesh = make_mesh({"stage": 3}, devices=jax.devices()[:3])
+    params = jax.tree.map(lambda a: a.astype(jnp.float64),
+                          cu.init_params(jax.random.key(0), cu.TINY))
+    sp = cu.split_params_stages(params)
+    xs = jnp.asarray(rng.standard_normal((2, 1, 3, 32, 32)))
+    ts = jnp.asarray(rng.integers(0, cfg_c.timesteps, (2, 1)), jnp.float64)
+
+    got_c = np.asarray(gpipe_hetero(
+        cu.unet_pipeline_stages(cfg_c), sp, (xs, ts), mesh))
+    got_h = np.asarray(gpipe_hetero(
+        cu.unet_pipeline_stages(cfg_h), sp, (xs, ts), mesh))
+    assert got_h.shape == got_c.shape == (2, 1, 3, 32, 32)
+    np.testing.assert_allclose(got_h, got_c, rtol=1e-7, atol=1e-7)
 
 
 def test_gpipe_hetero_training_mode_gradients(rng):
