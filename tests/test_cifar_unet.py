@@ -152,3 +152,19 @@ def test_cli_tp_flag(env_data_dir, capsys):
     assert "avg_loss" in out
     with pytest.raises(SystemExit):
         cu.main(["train", "1", "--tiny", "--tp", "--dp"])
+
+
+def test_cli_dp_with_batch_layout_remat(env_data_dir, capsys):
+    """The new config flags compose with --dp: batch 8 over the 8-device
+    mesh, channels-last layout, remat blocks — one DP step runs and logs."""
+    from big_linear_algebra_tpu.data import synth
+
+    synth.ensure_cifar(str(env_data_dir), n_batches=1, per_batch=8)
+    assert cu.main(["init", "--tiny"]) == 0
+    capsys.readouterr()
+    assert cu.main(["train", "1", "--tiny", "--dp", "--batch=8",
+                    "--layout=NHWC", "--remat", "--max-steps=1"]) == 0
+    out = capsys.readouterr().out
+    assert "avg_loss" in out
+    with pytest.raises(ValueError):
+        cu.main(["train", "1", "--tiny", "--batch"])  # bare flag: hard error
