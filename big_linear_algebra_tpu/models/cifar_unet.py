@@ -998,8 +998,15 @@ def train(num_epochs: int, *args, flags=None) -> None:
         t0 = time.perf_counter()
         losses = []
         chunk = []
-        for step_i, (_, imgs) in enumerate(
-                data.epoch_batches(rng, cfg.batch_size)):
+        batches = (imgs for _, imgs in data.epoch_batches(rng,
+                                                          cfg.batch_size))
+        if scan_steps == 1:
+            # per-step dispatch: keep 2 batches already in HBM so the
+            # host→device copy hides behind the previous step's compute
+            # (the scan path stacks on host and must stay numpy)
+            from big_linear_algebra_tpu.data import prefetch_to_device
+            batches = prefetch_to_device(batches, size=2)
+        for step_i, imgs in enumerate(batches):
             if max_steps and step_i >= max_steps:
                 break
             if scan_steps > 1:
