@@ -323,6 +323,9 @@ def _pad_nd(x, n_pad, d_pad):
     return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, d_pad - d)))
 
 
+_FWD_VMEM_BUDGET = 64 * 1024 * 1024
+
+
 def _flash_fwd(q, k, v, block_q, block_k):
     b, n, d = q.shape
     scale = 1.0 / math.sqrt(d)
@@ -331,6 +334,20 @@ def _flash_fwd(q, k, v, block_q, block_k):
     # exactly (rounding to max(block_q, block_k) silently drops tail keys
     # when one block size does not divide the other)
     n_pad = round_up(n, math.lcm(block_q, block_k))
+    # the kernel keeps the full padded K and V rows VMEM-resident (that row
+    # residency is what lets the unrolled k-loop pipeline at 181 TF/s) —
+    # guard the budget up front with a clear remedy instead of an opaque
+    # Mosaic allocation failure
+    itemsize = jnp.dtype(q.dtype).itemsize
+    resident = 2 * n_pad * d_pad * itemsize            # K + V rows
+    resident += 2 * block_q * d_pad * itemsize         # q + o blocks
+    if 2 * resident > _FWD_VMEM_BUDGET:                # ×2: double buffering
+        raise ValueError(
+            f"flash_attention: K/V rows for n={n} (padded {n_pad}), "
+            f"d={d} ({q.dtype}) need ~{2 * resident >> 20} MB VMEM, over "
+            f"the {_FWD_VMEM_BUDGET >> 20} MB budget. Shard the sequence "
+            f"with parallel.ring_attention (each shard holds n/P rows) or "
+            f"cast to bfloat16.")
     qp, kp, vp = (_pad_nd(x, n_pad, d_pad) for x in (q, k, v))
     grid = (b, n_pad // block_q)
     o, lse = pl.pallas_call(
@@ -355,6 +372,8 @@ def _flash_fwd(q, k, v, block_q, block_k):
             jax.ShapeDtypeStruct((b, n_pad, d_pad), q.dtype),
             jax.ShapeDtypeStruct((b, n_pad, 128), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_FWD_VMEM_BUDGET),
         interpret=use_interpret(),
     )(qp, kp, vp)
     return o[:, :n, :d], lse[:, :n, 0]
@@ -402,6 +421,18 @@ def _flash_attention_bwd(block_q, block_k, res, g):
         jnp.pad(delta, ((0, 0), (0, n_pad - n)))[:, :, None], (b, n_pad, 128))
 
     itemsize = jnp.dtype(q.dtype).itemsize
+    # both the fused kernel and the two-pass fallback keep O(n_pad·d_pad)
+    # rows VMEM-resident (k/v for dq; q/g/lse/delta for dkv) — same wall as
+    # the forward, so fail with the same remedy before Mosaic does opaquely
+    fallback_resident = 2 * (2 * n_pad * d_pad * itemsize
+                             + 2 * n_pad * 128 * 4)
+    if fallback_resident > _FWD_VMEM_BUDGET:
+        raise ValueError(
+            f"flash_attention backward: resident rows for n={n} (padded "
+            f"{n_pad}), d={d} ({q.dtype}) need ~{fallback_resident >> 20} "
+            f"MB VMEM, over the {_FWD_VMEM_BUDGET >> 20} MB budget. Shard "
+            f"the sequence with parallel.ring_attention or cast to "
+            f"bfloat16.")
     fused_bytes = (
         n_pad * d_pad * (3 * itemsize + 4)     # q, g, dq out, dq f32 scratch
         + n_pad * 128 * 8                      # lse + delta rows
@@ -459,6 +490,8 @@ def _flash_attention_bwd(block_q, block_k, res, g):
         out_specs=pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_pad, d_pad), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_FWD_VMEM_BUDGET),
         interpret=use_interpret(),
     )(qp, kp, vp, gp, lse_p, delta_p)
 
@@ -486,6 +519,8 @@ def _flash_attention_bwd(block_q, block_k, res, g):
             jax.ShapeDtypeStruct((b, n_pad, d_pad), k.dtype),
             jax.ShapeDtypeStruct((b, n_pad, d_pad), v.dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_FWD_VMEM_BUDGET),
         interpret=use_interpret(),
     )(qp, kp, vp, gp, lse_p, delta_p)
 

@@ -54,6 +54,23 @@ def out_size(in_size: int, stride: int) -> int:
     return math.ceil(in_size / stride)
 
 
+def _acc_type(dtype):
+    """Accumulate in ≥f32 (f64 inputs accumulate in f64 for oracle parity)."""
+    return jnp.float64 if dtype == jnp.float64 else jnp.float32
+
+
+def _dx_pads(in_size: int, k: int, stride: int,
+             g_size: int) -> Tuple[int, int]:
+    """Transpose-conv padding for del_X along one dim: solve for the pads
+    that make the stride-dilated gradient, convolved with the flipped
+    kernel, produce exactly ``in_size`` outputs."""
+    lo, _ = same_padding(in_size, k, stride)
+    dil = (g_size - 1) * stride + 1
+    pad_lo = k - 1 - lo
+    pad_hi = in_size + k - 1 - dil - pad_lo
+    return pad_lo, pad_hi
+
+
 def _fwd_conv(x, k, stride):
     (kh, kw) = k.shape[-2:]
     pad = (same_padding(x.shape[-2], kh, stride),
@@ -61,8 +78,7 @@ def _fwd_conv(x, k, stride):
     return jax.lax.conv_general_dilated(
         x, k, window_strides=(stride, stride), padding=pad,
         dimension_numbers=DIMS,
-        preferred_element_type=jnp.float32
-        if x.dtype != jnp.float64 else jnp.float64,
+        preferred_element_type=_acc_type(x.dtype),
         precision=_conv_precision(x.dtype),
     ).astype(x.dtype)
 
@@ -72,25 +88,14 @@ def _dx_conv(g, k, stride, in_shape):
     spatially-flipped, channel-transposed kernels — the conv formulation of
     the reference's ``col2im(del_Q @ Kᵀ)`` (lib/conv.c:225-226)."""
     (kh, kw) = k.shape[-2:]
-    in_h, in_w = in_shape[-2:]
-    lo_h, _ = same_padding(in_h, kh, stride)
-    lo_w, _ = same_padding(in_w, kw, stride)
-    # dilated gradient size per dim: (out−1)·s + 1; solve for the hi pad that
-    # makes the transpose conv produce exactly the input size.
-    dil_h = (g.shape[-2] - 1) * stride + 1
-    dil_w = (g.shape[-1] - 1) * stride + 1
-    pad_lo_h = kh - 1 - lo_h
-    pad_lo_w = kw - 1 - lo_w
-    pad_hi_h = in_h + kh - 1 - dil_h - pad_lo_h
-    pad_hi_w = in_w + kw - 1 - dil_w - pad_lo_w
     k_t = jnp.flip(k, axis=(-2, -1)).transpose(1, 0, 2, 3)  # (C, F, kh, kw)
     return jax.lax.conv_general_dilated(
         g, k_t, window_strides=(1, 1),
-        padding=((pad_lo_h, pad_hi_h), (pad_lo_w, pad_hi_w)),
+        padding=(_dx_pads(in_shape[-2], kh, stride, g.shape[-2]),
+                 _dx_pads(in_shape[-1], kw, stride, g.shape[-1])),
         lhs_dilation=(stride, stride),
         dimension_numbers=DIMS,
-        preferred_element_type=jnp.float32
-        if g.dtype != jnp.float64 else jnp.float64,
+        preferred_element_type=_acc_type(g.dtype),
         precision=_conv_precision(g.dtype),
     ).astype(g.dtype)
 
@@ -103,7 +108,7 @@ def _dk_conv(x, g, stride, k_shape):
     (kh, kw) = k_shape[-2:]
     pad = (same_padding(x.shape[-2], kh, stride),
            same_padding(x.shape[-1], kw, stride))
-    # lhs: (C, B, H, W); rhs "kernels": (F, B, oh, ow); out: (C, F, kh, kw)
+    # lhs: (C, B, H, W); rhs "kernels": (F, B, oh, ow); out: (C, F, kh', kw')
     out = jax.lax.conv_general_dilated(
         x.transpose(1, 0, 2, 3),
         g.transpose(1, 0, 2, 3),
@@ -111,10 +116,13 @@ def _dk_conv(x, g, stride, k_shape):
         padding=pad,
         rhs_dilation=(stride, stride),
         dimension_numbers=DIMS,
-        preferred_element_type=jnp.float32
-        if x.dtype != jnp.float64 else jnp.float64,
+        preferred_element_type=_acc_type(x.dtype),
         precision=_conv_precision(x.dtype),
     )
+    # When "same" padding clamps to 0 (kernel smaller than stride), the
+    # correlation yields kh − raw_total > kh taps; pad lo is 0 there, so the
+    # true gradient is exactly the leading kh×kw taps. No-op otherwise.
+    out = out[..., :kh, :kw]
     return out.transpose(1, 0, 2, 3).astype(x.dtype)  # (F, C, kh, kw)
 
 
@@ -158,10 +166,6 @@ def conv2d_single(x: jax.Array, kernels: jax.Array, stride: int = 1):
 DIMS_NHWC = ("NHWC", "HWIO", "NHWC")
 
 
-def _acc_type(dtype):
-    return jnp.float64 if dtype == jnp.float64 else jnp.float32
-
-
 def _fwd_conv_nhwc(x, k, stride):
     (kh, kw) = k.shape[-2:]
     pad = (same_padding(x.shape[1], kh, stride),
@@ -180,20 +184,12 @@ def _dx_conv_nhwc(g, k, stride, in_shape):
     kernels (the lib/conv.c:225-226 formulation; same pad algebra as the
     NCHW `_dx_conv`)."""
     (kh, kw) = k.shape[-2:]
-    in_h, in_w = in_shape[1], in_shape[2]
-    lo_h, _ = same_padding(in_h, kh, stride)
-    lo_w, _ = same_padding(in_w, kw, stride)
-    dil_h = (g.shape[1] - 1) * stride + 1
-    dil_w = (g.shape[2] - 1) * stride + 1
-    pad_lo_h = kh - 1 - lo_h
-    pad_lo_w = kw - 1 - lo_w
-    pad_hi_h = in_h + kh - 1 - dil_h - pad_lo_h
-    pad_hi_w = in_w + kw - 1 - dil_w - pad_lo_w
     # (F, C, kh, kw) → flip spatial → HWIO with I=F, O=C: (kh, kw, F, C)
     k_t = jnp.flip(k, axis=(-2, -1)).transpose(2, 3, 0, 1)
     return jax.lax.conv_general_dilated(
         g, k_t, window_strides=(1, 1),
-        padding=((pad_lo_h, pad_hi_h), (pad_lo_w, pad_hi_w)),
+        padding=(_dx_pads(in_shape[1], kh, stride, g.shape[1]),
+                 _dx_pads(in_shape[2], kw, stride, g.shape[2])),
         lhs_dilation=(stride, stride),
         dimension_numbers=DIMS_NHWC,
         preferred_element_type=_acc_type(g.dtype),
@@ -216,7 +212,10 @@ def _dk_conv_nhwc(x, g, stride, k_shape):
         dimension_numbers=DIMS_NHWC,
         preferred_element_type=_acc_type(x.dtype),
         precision=_conv_precision(x.dtype),
-    )                                    # (C, kh, kw, F)
+    )                                    # (C, kh', kw', F)
+    # clamped-"same" case (kernel < stride): true gradient = leading kh×kw
+    # taps (pad lo is 0 there); no-op otherwise — see _dk_conv
+    out = out[:, :kh, :kw, :]
     return out.transpose(3, 0, 1, 2).astype(x.dtype)  # (F, C, kh, kw)
 
 

@@ -35,10 +35,8 @@ from big_linear_algebra_tpu.ops.pallas_utils import use_interpret
 _VMEM_LIMIT = 64 * 1024 * 1024
 
 
-def _mxu_precision(dtype):
-    if jnp.dtype(dtype) == jnp.bfloat16:
-        return jax.lax.Precision.DEFAULT
-    return jax.lax.Precision.HIGHEST
+# Shared MXU input-precision policy (ops/precision.py)
+from big_linear_algebra_tpu.ops.precision import mxu_precision as _mxu_precision  # noqa: E501,E402
 
 
 def _conv_kernel(x_ref, w_ref, o_ref, *, k, h, w, prec):

@@ -61,24 +61,38 @@ def _sce_bwd(res, g):
 softmax_cross_entropy.defvjp(_sce_fwd, _sce_bwd)
 
 
+def _example_mask(mask, ndim):
+    """(B,) mask broadcast over an example's trailing dims."""
+    return mask.reshape((-1,) + (1,) * (ndim - 1))
+
+
 @jax.custom_vjp
-def mse_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+def mse_loss(pred: jax.Array, target: jax.Array,
+             mask: Optional[jax.Array] = None) -> jax.Array:
     """Sum of squared errors (≈ compute_mse_loss, model/cifar_unet.c:1858,
     which averages; the gradient seed 2·(pred−target) at :1353-1364 implies
     the sum — we return the sum and let callers normalize, recording the
-    deviation)."""
+    deviation). ``mask``: optional (B,) per-example validity for ragged
+    batches."""
     d = pred - target
-    return jnp.sum(d * d)
+    sq = d * d
+    if mask is not None:
+        sq = sq * _example_mask(mask, sq.ndim).astype(sq.dtype)
+    return jnp.sum(sq)
 
 
-def _mse_fwd(pred, target):
+def _mse_fwd(pred, target, mask):
     d = pred - target
+    if mask is not None:
+        d = d * _example_mask(mask, d.ndim).astype(d.dtype)
+        # masked d: both the value Σ(m·d)² with m∈{0,1} (m² = m) and the
+        # seed 2·m·d come out of the same premasked array
     return jnp.sum(d * d), d
 
 
 def _mse_bwd(d, g):
     seed = (2.0 * d * g).astype(d.dtype)
-    return seed, -seed
+    return seed, -seed, None
 
 
 mse_loss.defvjp(_mse_fwd, _mse_bwd)
@@ -91,27 +105,32 @@ def cross_entropy_loss(probs: jax.Array, onehot: jax.Array) -> jax.Array:
 
 
 @jax.custom_vjp
-def hinge_loss(w: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+def hinge_loss(w: jax.Array, x: jax.Array, y: jax.Array,
+               mask: Optional[jax.Array] = None) -> jax.Array:
     """One-vs-rest linear hinge: Σ_i max(0, 1 − y_i·(x_i @ w)).
 
-    w: (features,), x: (B, features), y: (B,) in {−1, +1}.
+    w: (features,), x: (B, features), y: (B,) in {−1, +1};
+    ``mask``: optional (B,) per-example validity for ragged batches.
     Subgradient w.r.t. w is ``−Σ_{margin<1} y_i·x_i``
     (model/mnist_hinge.c:137-149, intended descent semantics).
     """
     margins = y * (x @ w)
-    return jnp.sum(jnp.maximum(0.0, 1.0 - margins))
+    return _masked(jnp.maximum(0.0, 1.0 - margins), mask)
 
 
-def _hinge_fwd(w, x, y):
+def _hinge_fwd(w, x, y, mask):
     margins = y * (x @ w)
-    return jnp.sum(jnp.maximum(0.0, 1.0 - margins)), (x, y, margins)
+    return (_masked(jnp.maximum(0.0, 1.0 - margins), mask),
+            (x, y, margins, mask))
 
 
 def _hinge_bwd(res, g):
-    x, y, margins = res
+    x, y, margins, mask = res
     viol = (margins < 1.0).astype(x.dtype)
+    if mask is not None:
+        viol = viol * mask.astype(x.dtype)
     dw = -(viol * y) @ x * g
-    return dw.astype(x.dtype), None, None
+    return dw.astype(x.dtype), None, None, None
 
 
 hinge_loss.defvjp(_hinge_fwd, _hinge_bwd)

@@ -36,7 +36,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from big_linear_algebra_tpu.ops.pallas_utils import (
     LANE,
-    cdiv,
     pad2d,
     round_up,
     use_interpret,
@@ -200,7 +199,8 @@ def _pallas_mm(a, b, variant: Variant, block, out_dtype,
         a_p, b_p = pad2d(a, kp, mp), pad2d(b, kp, np_)
 
     n_k = kp // bk
-    precision = _mxu_precision(a.dtype)
+    # keyed on BOTH operands: a bf16·f32 mix must still protect the f32 side
+    precision = _mxu_precision(jnp.result_type(a.dtype, b.dtype))
     cost = pl.CostEstimate(
         flops=2 * m * n * k,
         bytes_accessed=(m * k + k * n + m * n) * itemsize,
@@ -273,7 +273,7 @@ def _xla_mm(a, b, variant: Variant, out_dtype, bias=None, activation=None):
         a, b, dimension_numbers=dims,
         preferred_element_type=jnp.float32
         if jnp.dtype(out_dtype).itemsize <= 4 else jnp.float64,
-        precision=_mxu_precision(a.dtype),
+        precision=_mxu_precision(jnp.result_type(a.dtype, b.dtype)),
     )
     if bias is not None:
         out = out + bias[None, :].astype(out.dtype)

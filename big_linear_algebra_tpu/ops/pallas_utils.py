@@ -16,16 +16,6 @@ def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def sublane(dtype) -> int:
-    """Minimum second-to-last-dim tile for a dtype on TPU."""
-    dtype = jnp.dtype(dtype)
-    if dtype.itemsize >= 4:
-        return 8
-    if dtype.itemsize == 2:
-        return 16
-    return 32
-
-
 LANE = 128
 
 

@@ -130,3 +130,19 @@ def test_flash_backward_two_pass_fallback(rng, monkeypatch):
     for got, want in zip(vjp_f(g), vjp_d(g)):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=3e-4, atol=3e-5)
+
+
+def test_flash_vmem_budget_guard():
+    """Over-budget sequences fail at trace time with a remedy (ring
+    attention), not an opaque Mosaic allocation error."""
+    n, d = 65536, 128
+    spec = jax.ShapeDtypeStruct((1, n, d), jnp.float32)
+    with pytest.raises(ValueError, match="ring_attention"):
+        jax.eval_shape(flash_attention, spec, spec, spec)
+
+    def bwd(q, k, v):
+        return jax.grad(lambda a: jnp.sum(flash_attention(a, k, v)))(q)
+
+    spec_b = jax.ShapeDtypeStruct((1, 24576, 128), jnp.float32)
+    with pytest.raises(ValueError, match="ring_attention"):
+        jax.eval_shape(bwd, spec_b, spec_b, spec_b)

@@ -94,6 +94,48 @@ def test_vjp_matches_autodiff(rng, case):
                                    rtol=1e-8, atol=1e-9)
 
 
+@pytest.mark.parametrize("case", [
+    # kernel smaller than stride: "same" padding clamps to 0 and the dk
+    # correlation yields extra taps — regression for the silent
+    # wrong-shaped kernel gradient (sliced to the true leading kh×kw)
+    (1, 1, 2, 6, 6),
+    (2, 2, 3, 7, 5),
+    (1, 3, 2, 6, 8),   # clamped on one dim only
+])
+def test_vjp_clamped_same_padding(rng, case):
+    from big_linear_algebra_tpu.nn.conv import conv2d_nhwc
+
+    kh, kw, stride, h, w = case
+    x = jnp.asarray(rng.standard_normal((2, 3, h, w)))
+    kernels = jnp.asarray(rng.standard_normal((4, 3, kh, kw)))
+    g = jnp.asarray(rng.standard_normal(
+        (2, 4, out_size(h, stride), out_size(w, stride))))
+
+    def plain(x, k):
+        pad = (same_padding(h, kh, stride), same_padding(w, kw, stride))
+        return jax.lax.conv_general_dilated(
+            x, k, (stride, stride), pad,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+
+    _, vjp = jax.vjp(lambda a, b: conv2d(a, b, stride), x, kernels)
+    _, ref_vjp = jax.vjp(plain, x, kernels)
+    (dx, dk), (dx_ref, dk_ref) = vjp(g), ref_vjp(g)
+    assert dk.shape == kernels.shape
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref),
+                               rtol=1e-8, atol=1e-9)
+
+    _, vjp_h = jax.vjp(lambda a, b: conv2d_nhwc(a, b, stride),
+                       x.transpose(0, 2, 3, 1), kernels)
+    dxh, dkh = vjp_h(g.transpose(0, 2, 3, 1))
+    assert dkh.shape == kernels.shape
+    np.testing.assert_allclose(np.asarray(dkh), np.asarray(dk_ref),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(dxh.transpose(0, 3, 1, 2)),
+                               np.asarray(dx_ref), rtol=1e-8, atol=1e-9)
+
+
 def test_batched_matches_single(rng):
     x = rng.standard_normal((3, 2, 6, 6))
     kernels = rng.standard_normal((4, 2, 3, 3))

@@ -107,3 +107,31 @@ def test_loss_finite_difference(rng, loss):
         fd = (fn(z0 + e) - fn(z0 - e)) / (2 * eps)
         np.testing.assert_allclose(float(g[idx]), float(fd), rtol=1e-5,
                                    atol=1e-9)
+
+
+def test_mse_and_hinge_loss_mask(rng):
+    """Ragged-batch masks: masked examples contribute nothing to value or
+    gradient (the module contract all losses share)."""
+    from big_linear_algebra_tpu.nn.losses import hinge_loss, mse_loss
+
+    pred = jnp.asarray(rng.standard_normal((4, 3, 2, 2)))
+    target = jnp.asarray(rng.standard_normal((4, 3, 2, 2)))
+    mask = jnp.asarray([1.0, 1.0, 0.0, 1.0])
+    want = float(mse_loss(pred[jnp.array([0, 1, 3])], target[jnp.array([0, 1, 3])]))
+    np.testing.assert_allclose(float(mse_loss(pred, target, mask)), want,
+                               rtol=1e-12)
+    g = jax.grad(lambda p: mse_loss(p, target, mask))(pred)
+    assert np.all(np.asarray(g)[2] == 0)
+    assert np.abs(np.asarray(g)[[0, 1, 3]]).max() > 0
+
+    w = jnp.asarray(rng.standard_normal((5,)))
+    x = jnp.asarray(rng.standard_normal((4, 5)))
+    y = jnp.asarray(np.sign(rng.standard_normal(4)))
+    want_h = float(hinge_loss(w, x[jnp.array([0, 1, 3])], y[jnp.array([0, 1, 3])]))
+    np.testing.assert_allclose(float(hinge_loss(w, x, y, mask)), want_h,
+                               rtol=1e-12)
+    gw = jax.grad(lambda ww: hinge_loss(ww, x, y, mask))(w)
+    gw_want = jax.grad(lambda ww: hinge_loss(ww, x[jnp.array([0, 1, 3])],
+                                             y[jnp.array([0, 1, 3])]))(w)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_want),
+                               rtol=1e-12)
