@@ -60,6 +60,8 @@ def read_bmp(path: str):
         raw, dtype=np.uint8, count=row_size * abs(height), offset=offset
     ).reshape(abs(height), row_size)
     pix = rows[:, : 3 * width].reshape(abs(height), width, 3)
-    if height > 0:
-        pass  # stored bottom-up; our writer also writes first-row-first
+    if height < 0:
+        # top-down file (negative biHeight): flip so row 0 is the image's
+        # bottom row, matching the bottom-up files write_bmp produces
+        pix = pix[::-1]
     return pix[..., 2].copy(), pix[..., 1].copy(), pix[..., 0].copy()

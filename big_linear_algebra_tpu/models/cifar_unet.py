@@ -894,13 +894,20 @@ def train(num_epochs: int, *args, flags=None) -> None:
     cfg = _cfg_from_flags(flags)
     batch_paths = synth.ensure_cifar(str(common.data_dir()))
     data = Cifar10Batches(batch_paths)
-    if (ckpt_dir() / "output_conv.csv").is_file():
+    state_dir = str(ckpt_dir() / "train_state")
+    step0 = ckpt_pytree.latest_step(state_dir)
+    if step0 is None and (ckpt_dir() / "output_conv.csv").is_file():
         params = load_params_csv(cfg)
-    else:
+    elif step0 is None:
         print("no checkpoint found; initializing")
         params = init_params(jax.random.key(cfg.seed), cfg)
+    else:
+        # a train_state exists — restore() below supplies params; skip the
+        # multi-megabyte CSV tree parse it would immediately overwrite
+        params = init_params(jax.random.key(cfg.seed), cfg)
     opt_state = adam_init(params)
-    state_dir = str(ckpt_dir() / "train_state")
+    key = jax.random.key(cfg.seed)
+    epoch0 = 0
     # Async checkpoint manager: per-epoch saves overlap training, keep-last-k
     # retention (--keep=k, 0 = unbounded), optional best-k by loss
     # (--keep-best). SURVEY.md §5 failure-recovery row.
@@ -908,20 +915,36 @@ def train(num_epochs: int, *args, flags=None) -> None:
     manager = ckpt_pytree.TrainCheckpointer(
         state_dir, max_to_keep=keep,
         best_metric="loss" if "keep-best" in flags else None)
-    target = {"params": params, "opt": opt_state}
-    step0 = ckpt_pytree.latest_step(state_dir)
+    target = {"params": params, "opt": opt_state,
+              "key_data": jax.random.key_data(key),
+              "epoch": np.zeros((), np.int32)}
     if step0 is not None:
         try:
             restored = manager.restore(target, step=step0)
         except Exception:
-            # checkpoints written by the pre-manager save_pytree layout
-            restored = ckpt_pytree.restore_pytree(state_dir, target,
-                                                  step=step0)
+            try:
+                restored = ckpt_pytree.restore_pytree(state_dir, target,
+                                                      step=step0)
+            except Exception:
+                # pre-RNG-state checkpoints: params + opt only
+                old = {"params": params, "opt": opt_state}
+                try:
+                    restored = dict(manager.restore(old, step=step0))
+                except Exception:
+                    restored = dict(ckpt_pytree.restore_pytree(
+                        state_dir, old, step=step0))
         params, opt_state = restored["params"], AdamState(*restored["opt"])
-        print(f"resumed train state at step {int(opt_state.step)}")
+        if "key_data" in restored:
+            # resume the RNG stream where it left off — replaying the first
+            # run's permutations/noise draws would correlate the updates
+            key = jax.random.wrap_key_data(restored["key_data"])
+            epoch0 = int(restored["epoch"])
+        else:
+            key = jax.random.fold_in(key, int(opt_state.step))
+        print(f"resumed train state at step {int(opt_state.step)}"
+              f" (epoch {epoch0})")
     logger = common.MetricsLogger(flags.get("jsonl") or None)
-    rng = np.random.default_rng(cfg.seed)
-    key = jax.random.key(cfg.seed)
+    rng = np.random.default_rng([cfg.seed, epoch0])
     dp_mesh = None
     if "dp" in flags:
         from big_linear_algebra_tpu.parallel import default_mesh
@@ -967,7 +990,7 @@ def train(num_epochs: int, *args, flags=None) -> None:
         data_dev = jnp.asarray(pixels_to_chw(data.pixels))
         epoch_dp = (make_epoch_step_dp(dp_mesh, cfg)
                     if dp_mesh is not None else None)
-        for epoch in range(num_epochs):
+        for epoch in range(epoch0, epoch0 + num_epochs):
             t0 = time.perf_counter()
             key, kep = jax.random.split(key)
             perm = jnp.asarray(
@@ -986,7 +1009,9 @@ def train(num_epochs: int, *args, flags=None) -> None:
                        step=int(opt_state.step))
             # async: serialization overlaps the next epoch's compute
             manager.save(int(opt_state.step),
-                         {"params": params, "opt": opt_state},
+                         {"params": params, "opt": opt_state,
+                          "key_data": jax.random.key_data(key),
+                          "epoch": np.asarray(epoch + 1, np.int32)},
                          metrics={"loss": float(losses.mean())})
         save_params_csv(params, cfg)
         manager.wait()
@@ -994,7 +1019,12 @@ def train(num_epochs: int, *args, flags=None) -> None:
         logger.close()
         return
     step_dp = make_train_step_dp(dp_mesh, cfg) if dp_mesh is not None else None
-    for epoch in range(num_epochs):
+    if dp_mesh is not None and scan_steps > 1:
+        # the chunked scan path runs the unsharded train_chunk — silently
+        # dropping DP would record wrong throughput (common.py flag policy)
+        raise SystemExit("--scan-steps>1 is not supported with --dp; use "
+                         "the default device-resident DP epoch mode")
+    for epoch in range(epoch0, epoch0 + num_epochs):
         t0 = time.perf_counter()
         losses = []
         chunk = []
@@ -1003,9 +1033,16 @@ def train(num_epochs: int, *args, flags=None) -> None:
         if scan_steps == 1:
             # per-step dispatch: keep 2 batches already in HBM so the
             # host→device copy hides behind the previous step's compute
-            # (the scan path stacks on host and must stay numpy)
+            # (the scan path stacks on host and must stay numpy); under
+            # --dp, place each batch directly in its P("data") sharding so
+            # no reshard hop runs per step
             from big_linear_algebra_tpu.data import prefetch_to_device
-            batches = prefetch_to_device(batches, size=2)
+            sharding = None
+            if dp_mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                sharding = NamedSharding(dp_mesh,
+                                         PartitionSpec("data"))
+            batches = prefetch_to_device(batches, size=2, sharding=sharding)
         for step_i, imgs in enumerate(batches):
             if max_steps and step_i >= max_steps:
                 break
@@ -1040,7 +1077,9 @@ def train(num_epochs: int, *args, flags=None) -> None:
                    epoch_seconds=dt, images_per_sec=n / dt,
                    step=int(opt_state.step))
         manager.save(int(opt_state.step),
-                     {"params": params, "opt": opt_state},
+                     {"params": params, "opt": opt_state,
+                      "key_data": jax.random.key_data(key),
+                      "epoch": np.asarray(epoch + 1, np.int32)},
                      metrics={"loss": float(np.mean(losses))})
     save_params_csv(params, cfg)
     manager.wait()
@@ -1052,7 +1091,9 @@ def run(num_predictions: int = 1, flags=None) -> None:
     """Sample images and write BMPs (the reference's intended ``run``)."""
     flags = flags or {}
     cfg = _cfg_from_flags(flags)
-    n = 1 if num_predictions in (-1, 0) else num_predictions
+    # -1 = reference "whole set" convention → one sample here; any other
+    # non-positive count would become a negative array shape
+    n = 1 if num_predictions < 1 else num_predictions
     params = load_params_csv(cfg)
     imgs = sample(params, jax.random.key(int(flags.get("sample-seed") or 0)),
                   cfg, n)

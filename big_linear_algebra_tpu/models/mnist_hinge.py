@@ -67,21 +67,6 @@ def init(flags=None, seed: int = 42):
     print(f"initialized parameters in {ckpt_dir()}")
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _train_iteration(w, x, labels, lr):
-    """One full-batch iteration over the whole training set for all 10
-    models. Returns (new_w, per-model grad norms / N)."""
-    n = x.shape[0]
-    y = jnp.where(  # one-vs-rest targets in {−1, +1} (:132-134)
-        jax.nn.one_hot(labels, 10, dtype=x.dtype) > 0, 1.0, -1.0
-    )
-    margins = y * (x @ w)                       # (N, 10)
-    viol = (margins < 1.0).astype(x.dtype)      # hinge subgradient support
-    grads = -(x.T @ (viol * y))                 # (784, 10): dL/dW
-    norms = jnp.sqrt(jnp.sum(grads * grads, axis=0)) / n
-    return w - lr * grads, norms
-
-
 def _chunk_body(y, x, lr, n_total, axis=None):
     """Shared per-iteration body with the reference's exact convergence
     semantics (model/mnist_hinge.c:158-171): the update is applied *before*

@@ -488,7 +488,9 @@ def run(num_predictions: int = -1, flags=None, cfg: Config = CONFIG) -> None:
     _, test_csv = synth.ensure_mnist(str(common.data_dir()))
     params = load_params_csv()
     data = MnistDataset.from_csv(test_csv)
-    n = data.num_examples if (num_predictions == -1
+    # reference: -1 (or over-ask) = whole set (model/mnist_nn.c:419-421);
+    # 0/negative would divide by zero / build a negative-size batch
+    n = data.num_examples if (num_predictions < 1
                               or num_predictions > data.num_examples) \
         else num_predictions
     print(f"Running predictions for {n} digits...", end="", flush=True)

@@ -17,7 +17,9 @@ from jax.sharding import Mesh
 
 
 def local_device_count() -> int:
-    return len(jax.devices())
+    """Devices attached to THIS process (== jax.devices() on a single host;
+    a strict subset on a multi-host slice)."""
+    return len(jax.local_devices())
 
 
 def make_mesh(axes: Mapping[str, int],
@@ -48,7 +50,8 @@ def make_mesh(axes: Mapping[str, int],
 
 def default_mesh(data_axis: str = "data") -> Mesh:
     """All local devices on one data-parallel axis."""
-    return make_mesh({data_axis: local_device_count()})
+    return make_mesh({data_axis: local_device_count()},
+                     devices=jax.local_devices())
 
 
 def distributed_init(coordinator_address: Optional[str] = None,

@@ -87,11 +87,11 @@ def gpipe(stage_fn: Callable, stacked_params, xs, mesh: Mesh,
         from jax.experimental.shard_map import shard_map
 
     n_stages = mesh.shape[axis]
-    leaves = jax.tree_util.tree_leaves(stacked_params)
-    if leaves and leaves[0].shape[0] != n_stages:
-        raise ValueError(
-            f"stacked_params leading dim {leaves[0].shape[0]} != stage axis "
-            f"size {n_stages}")
+    for leaf in jax.tree_util.tree_leaves(stacked_params):
+        if leaf.shape[0] != n_stages:
+            raise ValueError(
+                f"stacked_params leading dim {leaf.shape[0]} != stage axis "
+                f"size {n_stages}")
 
     param_specs = jax.tree.map(
         lambda p: P(axis, *([None] * (p.ndim - 1))), stacked_params)

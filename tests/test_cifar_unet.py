@@ -126,10 +126,13 @@ def test_cli_end_to_end(env_data_dir, capsys):
     assert cu.main(["train", "1", "--tiny"]) == 0
     out = capsys.readouterr().out
     assert "avg_loss" in out
-    # resume: second train run restores the saved train state
+    # resume: second train run restores the saved train state, continues the
+    # epoch numbering AND the RNG stream (key/epoch ride the checkpoint —
+    # replaying run 1's permutations/noise would correlate the updates)
     assert cu.main(["train", "1", "--tiny"]) == 0
     out = capsys.readouterr().out
     assert "resumed train state" in out
+    assert "epoch: 1" in out and "epoch: 0" not in out
     assert cu.main(["run", "1", "--tiny"]) == 0
     out = capsys.readouterr().out
     assert "sample_0.bmp" in out
