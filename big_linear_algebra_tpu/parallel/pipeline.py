@@ -257,29 +257,21 @@ def gpipe_hetero(stage_fns: Sequence[Callable], stage_params: Sequence,
         lambda t: _pack_to(jax.tree.map(lambda a: a[t], xs), width, dtype)
     )(jnp.arange(n_micro))  # (n_micro, W)
 
+    body = functools.partial(_local_hetero, axis=axis, branches=branches,
+                             n_micro=n_micro)
     if key is None:
-        fn = shard_map(
-            functools.partial(_local_hetero, key=None, axis=axis,
-                              branches=branches, n_micro=n_micro),
-            mesh=mesh,
-            in_specs=(P(axis, None), P()),
-            out_specs=P(),
-            check_vma=False,
-        )
-        args = (params_flat, xs_flat)
-    else:
-        fn = shard_map(
-            functools.partial(_local_hetero, axis=axis,
-                              branches=branches, n_micro=n_micro),
-            mesh=mesh,
-            in_specs=(P(axis, None), P(), P()),
-            out_specs=P(),
-            check_vma=False,
-        )
-        args = (params_flat, xs_flat, key)
+        body = functools.partial(body, key=None)
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis, None), P()) + ((P(),) if key is not None else ()),
+        out_specs=P(),
+        check_vma=False,
+    )
     params_flat = jax.device_put(
         params_flat, NamedSharding(mesh, P(axis, None)))
-    outs_flat = fn(*((params_flat,) + args[1:]))
+    outs_flat = (fn(params_flat, xs_flat) if key is None
+                 else fn(params_flat, xs_flat, key))
 
     w_out, dt_out, unravel_out = b_packs[-1]
     return jax.vmap(
