@@ -98,9 +98,7 @@ def bench_pallas_matmul(block=None):
     from big_linear_algebra_tpu.ops.matmul import _pallas_mm
 
     return bench_matmul_chain(
-        functools.partial(
-            lambda a, b, blk: _pallas_mm(a, b, "nn", blk, jnp.float32),
-            blk=block))
+        lambda a, b: _pallas_mm(a, b, "nn", block, jnp.float32))
 
 
 def _trace_events(run_once):
@@ -113,20 +111,33 @@ def _trace_events(run_once):
 
     tmp = tempfile.mkdtemp(prefix="bla_prof_")
     try:
-        with jax.profiler.trace(tmp):
+        try:
+            ctx = jax.profiler.trace(tmp)
+            ctx.__enter__()
+        except Exception:
+            return None, None  # profiler unavailable
+        try:
+            # run_once errors must PROPAGATE: a failed execution silently
+            # reported as "profiler unavailable" hides real benchmark bugs
             run_once()
-        paths = glob.glob(f"{tmp}/**/*.trace.json.gz", recursive=True)
-        if not paths:
-            return None, None
-        with gzip.open(paths[0]) as f:
-            events = json.load(f).get("traceEvents", [])
-        pids = {}
-        for e in events:
-            if e.get("ph") == "M" and e.get("name") == "process_name":
-                pids[e["pid"]] = e.get("args", {}).get("name", "")
-        return events, pids
-    except Exception:
-        return None, None
+        finally:
+            try:
+                ctx.__exit__(None, None, None)
+            except Exception:
+                return None, None
+        try:
+            paths = glob.glob(f"{tmp}/**/*.trace.json.gz", recursive=True)
+            if not paths:
+                return None, None
+            with gzip.open(paths[0]) as f:
+                events = json.load(f).get("traceEvents", [])
+            pids = {}
+            for e in events:
+                if e.get("ph") == "M" and e.get("name") == "process_name":
+                    pids[e["pid"]] = e.get("args", {}).get("name", "")
+            return events, pids
+        except Exception:
+            return None, None  # unreadable/partial trace
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -138,13 +149,16 @@ def _kernel_time_from_trace(run_once, iters):
     """
     import collections
 
-    events, _ = _trace_events(run_once)
+    events, pids = _trace_events(run_once)
     if events is None:
         return None
     agg = collections.Counter()
     cnt = collections.Counter()
     for e in events:
-        if e.get("ph") == "X" and "dur" in e:
+        # device rows only — host-side events with coincidental counts must
+        # not be selected, and duplicate rows must not disqualify the kernel
+        if (e.get("ph") == "X" and "dur" in e
+                and "device" in str(pids.get(e.get("pid"), "")).lower()):
             agg[e["name"]] += e["dur"]
             cnt[e["name"]] += 1
     candidates = [
@@ -198,7 +212,8 @@ def bench_pallas_matmul_kernel(m=4096, iters=16):
             jnp.float32))
 
     float(chain(a, b))  # warm
-    dt = _kernel_time_from_trace(lambda: float(chain(a, b)), iters)
+    a2 = (a * 1.0009).astype(a.dtype)  # traced run != warm run (dedup)
+    dt = _kernel_time_from_trace(lambda: float(chain(a2, b)), iters)
     return 2 * m ** 3 * iters / dt if dt else None
 
 
@@ -220,7 +235,8 @@ def bench_flash_attention_kernel(b=4, n=4096, d=128, iters=16,
             jnp.float32))
 
     float(chain(q, k, v))  # warm
-    dt = _kernel_time_from_trace(lambda: float(chain(q, k, v)), iters)
+    q2 = (q * 1.0009).astype(q.dtype)  # traced run != warm run (dedup)
+    dt = _kernel_time_from_trace(lambda: float(chain(q2, k, v)), iters)
     return 4 * b * n * n * d * iters / dt if dt else None
 
 
@@ -247,7 +263,8 @@ def bench_flash_attention_bwd_kernel(b=4, n=4096, d=128, iters=16,
         return jnp.sum(out.astype(jnp.float32))
 
     float(chain(q, k, v, g))  # warm
-    dt = _kernel_time_from_trace(lambda: float(chain(q, k, v, g)), iters)
+    q2 = (q * 1.0009).astype(q.dtype)  # traced run != warm run (dedup)
+    dt = _kernel_time_from_trace(lambda: float(chain(q2, k, v, g)), iters)
     return 10 * b * n * n * d * iters / dt if dt else None
 
 
@@ -269,9 +286,14 @@ def bench_flash_attention(b=4, n=4096, d=128, dtype=jnp.bfloat16):
         @jax.jit
         def chain(q, k, v):
             def body(_, vv):
-                return flash_attention(q, k, vv)
+                # 1.0009 growth: repeated application of the fixed
+                # row-stochastic softmax(qkᵀ) operator would hit a bf16
+                # fixed point mid-chain (identical iterations → upstream
+                # dedup, CLAUDE.md); the drift keeps every iterate distinct
+                # (1.0009^136 ≈ 1.13, no overflow)
+                return flash_attention(q, k, vv) * 1.0009
             out = jax.lax.fori_loop(0, iters, body, v)
-            return jnp.sum(out)
+            return jnp.sum(out.astype(jnp.float32))
 
         compiled = chain.lower(q, k, v).compile()
         return lambda: compiled(q, k, v)
