@@ -328,6 +328,14 @@ _FWD_VMEM_BUDGET = 64 * 1024 * 1024
 
 def _flash_fwd(q, k, v, block_q, block_k):
     b, n, d = q.shape
+    if k.shape != q.shape or v.shape != q.shape:
+        # the kernel derives n_pad and its validity mask from q alone —
+        # shorter k/v would be zero-padded into ATTENDED phantom keys
+        # (silently wrong softmax); use attention_dense for cross-attention
+        raise ValueError(
+            f"flash_attention is self-attention-shaped: q {q.shape}, "
+            f"k {k.shape}, v {v.shape} must match (attention_dense "
+            f"supports differing key/query lengths)")
     scale = 1.0 / math.sqrt(d)
     d_pad = round_up(d, 128)
     # pad to a common multiple so BOTH the q-grid and the k-loop tile n_pad
@@ -403,15 +411,16 @@ def _flash_attention_fwd(q, k, v, block_q, block_k):
 _BWD_FUSED_VMEM_BUDGET = 40 * 1024 * 1024
 
 
-def _flash_attention_bwd(block_q, block_k, res, g):
-    q, k, v, o, lse = res
+def _flash_bwd_prepare(q, g, o, lse, block_q, block_k):
+    """The rotation-invariant residual prep (padded q/g, log2-domain
+    lse/delta rows): split out so ring attention computes it ONCE instead of
+    once per rotation (only k/v change around the ring)."""
     b, n, d = q.shape
-    scale = 1.0 / math.sqrt(d)
     g = g.astype(q.dtype)
     delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
     d_pad = round_up(d, 128)
     n_pad = round_up(n, math.lcm(block_q, block_k))  # see _flash_fwd
-    qp, kp, vp, gp = (_pad_nd(x, n_pad, d_pad) for x in (q, k, v, g))
+    qp, gp = (_pad_nd(x, n_pad, d_pad) for x in (q, g))
     # lse is shipped to the kernels pre-multiplied into the log2 domain (the
     # kernels compute scores as s·log2e and use the hardware exp2 directly)
     lse_p = jnp.broadcast_to(
@@ -419,8 +428,27 @@ def _flash_attention_bwd(block_q, block_k, res, g):
                 ((0, 0), (0, n_pad - n)))[:, :, None], (b, n_pad, 128))
     delta_p = jnp.broadcast_to(
         jnp.pad(delta, ((0, 0), (0, n_pad - n)))[:, :, None], (b, n_pad, 128))
+    return qp, gp, lse_p, delta_p, n_pad, d_pad
 
-    itemsize = jnp.dtype(q.dtype).itemsize
+
+def _flash_attention_bwd(block_q, block_k, res, g):
+    q, k, v, o, lse = res
+    qp, gp, lse_p, delta_p, n_pad, d_pad = _flash_bwd_prepare(
+        q, g, o, lse, block_q, block_k)
+    kp, vp = (_pad_nd(x, n_pad, d_pad) for x in (k, v))
+    return _flash_bwd_padded(qp, kp, vp, gp, lse_p, delta_p,
+                             q.shape, block_q, block_k)
+
+
+def _flash_bwd_padded(qp, kp, vp, gp, lse_p, delta_p, q_shape,
+                      block_q, block_k):
+    """Kernel dispatch on pre-padded residuals. ``q_shape`` is the unpadded
+    (b, n, d)."""
+    b, n, d = q_shape
+    b_pad, n_pad, d_pad = qp.shape
+    scale = 1.0 / math.sqrt(d)
+
+    itemsize = jnp.dtype(qp.dtype).itemsize
     # both the fused kernel and the two-pass fallback keep O(n_pad·d_pad)
     # rows VMEM-resident (k/v for dq; q/g/lse/delta for dkv) — same wall as
     # the forward, so fail with the same remedy before Mosaic does opaquely
@@ -429,7 +457,7 @@ def _flash_attention_bwd(block_q, block_k, res, g):
     if fallback_resident > _FWD_VMEM_BUDGET:
         raise ValueError(
             f"flash_attention backward: resident rows for n={n} (padded "
-            f"{n_pad}), d={d} ({q.dtype}) need ~{fallback_resident >> 20} "
+            f"{n_pad}), d={d} ({qp.dtype}) need ~{fallback_resident >> 20} "
             f"MB VMEM, over the {_FWD_VMEM_BUDGET >> 20} MB budget. Shard "
             f"the sequence with parallel.ring_attention or cast to "
             f"bfloat16.")
@@ -453,9 +481,9 @@ def _flash_attention_bwd(block_q, block_k, res, g):
             in_specs=[row, kv_blk, kv_blk, row, row128, row128],
             out_specs=[row, kv_blk, kv_blk],
             out_shape=[
-                jax.ShapeDtypeStruct((b, n_pad, d_pad), q.dtype),
-                jax.ShapeDtypeStruct((b, n_pad, d_pad), k.dtype),
-                jax.ShapeDtypeStruct((b, n_pad, d_pad), v.dtype),
+                jax.ShapeDtypeStruct((b, n_pad, d_pad), qp.dtype),
+                jax.ShapeDtypeStruct((b, n_pad, d_pad), kp.dtype),
+                jax.ShapeDtypeStruct((b, n_pad, d_pad), vp.dtype),
             ],
             scratch_shapes=[pltpu.VMEM((n_pad, d_pad), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
@@ -489,7 +517,7 @@ def _flash_attention_bwd(block_q, block_k, res, g):
         ],
         out_specs=pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_pad, d_pad), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, d_pad), qp.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_FWD_VMEM_BUDGET),
         interpret=use_interpret(),
@@ -516,8 +544,8 @@ def _flash_attention_bwd(block_q, block_k, res, g):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n_pad, d_pad), k.dtype),
-            jax.ShapeDtypeStruct((b, n_pad, d_pad), v.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, d_pad), kp.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, d_pad), vp.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_FWD_VMEM_BUDGET),
@@ -531,8 +559,10 @@ flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
 
 
 def attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
-    """Dispatch: dense for short sequences, flash for long."""
-    if q.shape[1] >= _FLASH_MIN_N and q.dtype != jnp.float64:
+    """Dispatch: dense for short sequences (and cross-attention shapes,
+    which the flash kernel rejects), flash for long self-attention."""
+    if (q.shape == k.shape == v.shape and q.shape[1] >= _FLASH_MIN_N
+            and q.dtype != jnp.float64):
         return flash_attention(q, k, v)
     return attention_dense(q, k, v)
 

@@ -81,10 +81,7 @@ def gpipe(stage_fn: Callable, stacked_params, xs, mesh: Mesh,
     - ``xs``: (n_microbatches, …) microbatch stack; every microbatch passes
       through all S stages in order. Returns the same shape.
     """
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
+    from big_linear_algebra_tpu.parallel.spmd import shard_map_fn
 
     n_stages = mesh.shape[axis]
     for leaf in jax.tree_util.tree_leaves(stacked_params):
@@ -95,13 +92,9 @@ def gpipe(stage_fn: Callable, stacked_params, xs, mesh: Mesh,
 
     param_specs = jax.tree.map(
         lambda p: P(axis, *([None] * (p.ndim - 1))), stacked_params)
-    fn = shard_map(
+    fn = shard_map_fn(
         functools.partial(_local_pipeline, stage_fn=stage_fn, axis=axis),
-        mesh=mesh,
-        in_specs=(param_specs, P()),
-        out_specs=P(),
-        check_vma=False,
-    )
+        mesh, (param_specs, P()), P())
     stacked_params = jax.tree.map(
         lambda p, s: jax.device_put(p, NamedSharding(mesh, s)),
         stacked_params, param_specs)
@@ -200,10 +193,7 @@ def gpipe_hetero(stage_fns: Sequence[Callable], stage_params: Sequence,
     autodiff exactly as in ``gpipe``. Returns the stacked final boundary
     (leading dim ``n_micro``). Cost per tick = widest stage + padding
     bandwidth."""
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
+    from big_linear_algebra_tpu.parallel.spmd import shard_map_fn
 
     n_stages = len(stage_fns)
     if len(stage_params) != n_stages:
@@ -261,13 +251,9 @@ def gpipe_hetero(stage_fns: Sequence[Callable], stage_params: Sequence,
                              n_micro=n_micro)
     if key is None:
         body = functools.partial(body, key=None)
-    fn = shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(axis, None), P()) + ((P(),) if key is not None else ()),
-        out_specs=P(),
-        check_vma=False,
-    )
+    fn = shard_map_fn(
+        body, mesh,
+        (P(axis, None), P()) + ((P(),) if key is not None else ()), P())
     params_flat = jax.device_put(
         params_flat, NamedSharding(mesh, P(axis, None)))
     outs_flat = (fn(params_flat, xs_flat) if key is None

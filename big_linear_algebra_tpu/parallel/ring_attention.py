@@ -18,9 +18,9 @@ over a mesh axis, keep q local, and rotate k/v blocks around the ring with
   in buffers that travel around the ring *with* their k/v block and take
   one final hop home.
 
-Comm cost is P−1 permutes of the local k/v shard over ICI forward (P+1
-backward, counting the homing hop), overlappable with the per-block kernels
-by XLA's latency-hiding scheduler.
+Comm cost is P−1 permutes of the local k/v shard over ICI forward (P
+backward: P−1 in-loop hops + the final homing hop), overlappable with the
+per-block kernels by XLA's latency-hiding scheduler.
 
 Single-head (B, N, d) shapes like nn/attention.py; N must divide evenly by
 the axis size.
@@ -34,17 +34,22 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from big_linear_algebra_tpu.nn.attention import (_flash_attention_bwd,
-                                                 _flash_fwd)
+from big_linear_algebra_tpu.nn.attention import (_flash_bwd_padded,
+                                                 _flash_bwd_prepare,
+                                                 _flash_fwd, _pad_nd)
 
 
 def _ring_blocks(n_local: int) -> tuple[int, int]:
-    """Flash block sizes for a local shard of n_local rows: cap at the
-    measured-best single-chip blocks, shrink for small shards so the kernel
-    padding (lcm of the blocks) stays proportionate."""
-    bq = min(512, max(8, n_local))
-    bk = min(1024, max(8, n_local))
-    return bq, bk
+    """Flash block sizes for a local shard of n_local rows.
+
+    The kernel pads n_local to lcm(bq, bk), so unequal blocks are only safe
+    when they divide the shard exactly — (512, 1024) on a 600-row shard
+    would pad to lcm = 38,400 rows (64× wasted FLOPs and a VMEM-guard
+    trip). Otherwise use equal blocks: lcm == block, padding < one block."""
+    if n_local % 1024 == 0:
+        return 512, 1024  # measured-best single-chip blocks, zero padding
+    b = min(512, max(8, n_local))
+    return b, b
 
 
 def _merge(o, lse, o_r, lse_r):
@@ -88,6 +93,10 @@ def _ring_flash_bwd(axis_name, res, g):
     kr, vr = k, v
     dkr = jnp.zeros(k.shape, jnp.float32)
     dvr = jnp.zeros(v.shape, jnp.float32)
+    # rotation-invariant residual prep (padded q/g, lse/delta rows) done
+    # ONCE — only the visiting k/v change per rotation
+    qp, gp, lse_p, delta_p, n_pad, d_pad = _flash_bwd_prepare(
+        q, g.astype(q.dtype), o, lse, bq, bk)
     for r in range(n_dev):
         if r > 0:
             kr, vr, dkr, dvr = (jax.lax.ppermute(x, axis_name, perm)
@@ -96,8 +105,9 @@ def _ring_flash_bwd(axis_name, res, g):
         # o/lse residuals: p = exp(s − lse_global) is exactly this block's
         # slice of the softmax, so the returned grads are the block's exact
         # contributions (nn/attention.py:_flash_bwd_fused_kernel).
-        dq_r, dk_r, dv_r = _flash_attention_bwd(bq, bk, (q, kr, vr, o, lse),
-                                                g)
+        dq_r, dk_r, dv_r = _flash_bwd_padded(
+            qp, _pad_nd(kr, n_pad, d_pad), _pad_nd(vr, n_pad, d_pad),
+            gp, lse_p, delta_p, q.shape, bq, bk)
         dq = dq + dq_r.astype(jnp.float32)
         dkr = dkr + dk_r.astype(jnp.float32)
         dvr = dvr + dv_r.astype(jnp.float32)
@@ -117,8 +127,10 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, mesh: Mesh,
     ``axis_name``. Exact (up to fp) match of attention_dense."""
     try:
         from jax import shard_map
-    except ImportError:  # older jax
+        kw = {"check_vma": False}  # pallas_call outputs carry no vma
+    except ImportError:  # pre-promotion jax: the flag is named check_rep
         from jax.experimental.shard_map import shard_map
+        kw = {"check_rep": False}
 
     spec = P(None, axis_name, None)
     fn = shard_map(
@@ -126,7 +138,7 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, mesh: Mesh,
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
-        check_vma=False,  # pallas_call out_shapes carry no vma annotation
+        **kw,
     )
     sharding = NamedSharding(mesh, spec)
     q, k, v = (jax.device_put(x, sharding) for x in (q, k, v))

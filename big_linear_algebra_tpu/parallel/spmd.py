@@ -23,14 +23,18 @@ import jax
 
 def shard_map_fn(fn, mesh, in_specs, out_specs):
     """``jax.shard_map`` with the settings every SPMD step here needs:
-    ``check_vma=False`` because Pallas calls (and interpret-mode kernels on
-    CPU test meshes) don't carry varying-mesh-axis metadata."""
+    replication checking off because Pallas calls (and interpret-mode
+    kernels on CPU test meshes) don't carry varying-mesh-axis metadata.
+    The flag is ``check_vma`` on current jax; pre-promotion versions (where
+    shard_map lives under experimental) call it ``check_rep``."""
     try:
         from jax import shard_map
+        kw = {"check_vma": False}
     except ImportError:  # pragma: no cover - older jax
         from jax.experimental.shard_map import shard_map
+        kw = {"check_rep": False}
     return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                     check_vma=False)
+                     **kw)
 
 
 def psum_tree(tree: Any, axis_name: str) -> Any:

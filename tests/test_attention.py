@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from big_linear_algebra_tpu.nn.attention import (
+    attention,
     attention_dense,
     flash_attention,
     self_attention_block,
@@ -146,3 +147,20 @@ def test_flash_vmem_budget_guard():
     spec_b = jax.ShapeDtypeStruct((1, 24576, 128), jnp.float32)
     with pytest.raises(ValueError, match="ring_attention"):
         jax.eval_shape(bwd, spec_b, spec_b, spec_b)
+
+
+def test_attention_cross_shapes_use_dense(rng):
+    """Mismatched q/k lengths must route to the dense path (the flash
+    kernel's validity mask comes from q alone and would silently attend
+    phantom zero keys) and flash itself must reject them loudly."""
+    q = jnp.asarray(rng.standard_normal((1, 2048, 64)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 1024, 64)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 1024, 64)), jnp.float32)
+    got = np.asarray(attention(q, k, v))
+    want = np.asarray(attention_dense(q, k, v))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    with pytest.raises(ValueError, match="self-attention-shaped"):
+        jax.eval_shape(flash_attention,
+                       jax.ShapeDtypeStruct((1, 2048, 64), jnp.float32),
+                       jax.ShapeDtypeStruct((1, 1024, 64), jnp.float32),
+                       jax.ShapeDtypeStruct((1, 1024, 64), jnp.float32))

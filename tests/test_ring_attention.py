@@ -33,3 +33,26 @@ def test_ring_gradients_match_dense(rng):
     for got, want in zip(vjp_ring(g), vjp_dense(g)):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=5e-5, atol=5e-6)
+
+
+def test_ring_non_pow2_shard(rng):
+    """Non-power-of-two local shards (n_local=24 here) must not explode the
+    kernel padding (the old (bq, bk)=(512, 1024)-capped blocks padded to
+    lcm; equal blocks keep padding under one block) — fwd and grads still
+    match dense."""
+    mesh = make_mesh({"seq": 4, "data": 2})
+    b, n, d = 1, 96, 8   # 96/4 = 24 rows per shard: 24 % 1024 != 0
+    q = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+
+    got = np.asarray(ring_attention(q, k, v, mesh, "seq"))
+    want = np.asarray(attention_dense(q, k, v))
+    np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-6)
+
+    _, vjp_ring = jax.vjp(lambda *a: ring_attention(*a, mesh, "seq"), q, k, v)
+    _, vjp_dense = jax.vjp(attention_dense, q, k, v)
+    for got, want in zip(vjp_ring(g), vjp_dense(g)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=5e-5, atol=5e-6)
