@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from big_linear_algebra_tpu.nn.conv import _dx_conv, _dk_conv
+from big_linear_algebra_tpu.nn.conv import _dk_conv, _dx_conv, _fwd_conv
 from big_linear_algebra_tpu.ops.pallas_utils import use_interpret
 
 _VMEM_LIMIT = 64 * 1024 * 1024
@@ -68,13 +68,20 @@ def _conv_fwd_pallas(x, kernels):
     b, c, h, w = x.shape
     f, c2, kh, kw = kernels.shape
     assert c == c2 and kh == kw and kh % 2 == 1
+    # f64 (Mosaic has no f64) and shapes whose example block exceeds the
+    # VMEM budget fall back to the XLA conv — same math, no opaque Mosaic
+    # allocation error (the guard flash_attention's budget checks model)
+    if (jnp.dtype(jnp.result_type(x.dtype, kernels.dtype)).itemsize > 4
+            or not supported(x.shape, kernels.shape, 1)):
+        return _fwd_conv(x, kernels, 1)
     k = kh
     # per-tap weight matrices: (k², C, F) — one small transpose, done once
     w_taps = kernels.transpose(2, 3, 1, 0).reshape(k * k, c, f)
     x3 = x.reshape(b, c, h * w)
     out = pl.pallas_call(
         functools.partial(_conv_kernel, k=k, h=h, w=w,
-                          prec=_mxu_precision(x.dtype)),
+                          prec=_mxu_precision(
+                              jnp.result_type(x.dtype, kernels.dtype))),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, c, h * w), lambda i: (i, 0, 0),

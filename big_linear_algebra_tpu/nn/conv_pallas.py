@@ -35,10 +35,15 @@ def im2col(x: jax.Array, kernel_size: int, stride: int) -> jax.Array:
     b, c, h, w = x.shape
     k = kernel_size
     pad = (same_padding(h, k, stride), same_padding(w, k, stride))
-    # patches: (B, C*k*k, oh, ow) with feature order (c, ki, kj)
+    # patches: (B, C*k*k, oh, ow) with feature order (c, ki, kj).
+    # Explicit precision: patch extraction lowers to a conv and the TPU
+    # default would bf16-truncate f32 activations before the GEMM,
+    # breaking the "numerically equal to conv2d" contract.
+    from big_linear_algebra_tpu.ops.precision import mxu_precision
     patches = jax.lax.conv_general_dilated_patches(
         x, (k, k), (stride, stride), pad,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=mxu_precision(x.dtype))
     oh, ow = out_size(h, stride), out_size(w, stride)
     return patches.reshape(b, c * k * k, oh * ow).transpose(0, 2, 1)
 

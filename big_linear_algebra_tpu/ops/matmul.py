@@ -178,8 +178,10 @@ def _pallas_mm(a, b, variant: Variant, block, out_dtype,
                bias=None, activation=None):
     spec = _VARIANTS[variant]
     m, n, k = spec["shapes"](a, b)
-    itemsize = jnp.dtype(a.dtype).itemsize
-    if block is None or block is _DEFAULT_BLOCK:
+    # plan VMEM with the larger operand itemsize: a bf16×f32 mix must not
+    # undercount the f32 strip and approve blocks that exceed the budget
+    itemsize = max(jnp.dtype(a.dtype).itemsize, jnp.dtype(b.dtype).itemsize)
+    if block is None:
         bm, bn, bk = _choose_blocks(m, n, k, itemsize)
     else:
         bm, bn, bk = block
@@ -284,8 +286,6 @@ def _xla_mm(a, b, variant: Variant, out_dtype, bias=None, activation=None):
 
 def _dispatch(a, b, variant: Variant, block, out_dtype,
               bias=None, activation=None):
-    if block is None:
-        block = _DEFAULT_BLOCK
     spec = _VARIANTS[variant]
     if a.ndim != 2 or b.ndim != 2:
         raise ValueError(
@@ -303,10 +303,12 @@ def _dispatch(a, b, variant: Variant, block, out_dtype,
         out_dtype = jnp.result_type(a.dtype, b.dtype)
     m, n, k = spec["shapes"](a, b)
     # float64 (CPU parity/oracle mode) and tiny problems go through XLA.
+    # Keyed on the PROMOTED dtype: an f32×f64 mix must not reach Mosaic
+    # (no f64 support) just because the a-slot operand is f32.
     # Under SPMD the caller wraps the step in shard_map (parallel/spmd.py),
     # so this dispatch always sees per-shard local shapes and the Pallas
     # kernel runs on every device without needing a partitioning rule.
-    if (jnp.dtype(a.dtype).itemsize > 4
+    if (jnp.dtype(jnp.result_type(a.dtype, b.dtype)).itemsize > 4
             or 2 * m * n * k < _SMALL_FLOPS):
         return _xla_mm(a, b, variant, out_dtype, bias, activation)
     return _pallas_mm(a, b, variant, block, out_dtype, bias, activation)
