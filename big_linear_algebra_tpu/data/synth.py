@@ -114,30 +114,50 @@ def write_cifar_batch(path: str, rng: np.random.Generator,
 
 def ensure_mnist(data_dir: str, train_n: int = 8192, test_n: int = 2048,
                  seed: int = 42):
-    """Create synthetic train/test MNIST CSVs under ``data_dir`` if absent.
-    Returns (train_path, test_path). Mirrors the reference's expected layout
-    ``data/mnist/mnist_train.csv`` / ``mnist_test.csv``
-    (model/mnist_nn.c:14-15)."""
+    """Return (train_path, test_path) at the reference's expected layout
+    ``<data_dir>/mnist/mnist_train.csv`` / ``mnist_test.csv``
+    (model/mnist_nn.c:14-15).
+
+    **Pre-existing files are always preferred and never touched** — drop the
+    real MNIST CSVs (label,p0..p783 per line) at those paths and every
+    accuracy number becomes real with zero code change. Only files that are
+    absent are synthesized, loudly."""
     d = Path(data_dir) / "mnist"
     train, test = d / "mnist_train.csv", d / "mnist_test.csv"
-    if not train.exists() or not test.exists():
+    missing = [p for p in (train, test) if not p.exists()]
+    if missing:
         d.mkdir(parents=True, exist_ok=True)
         rng = np.random.default_rng(seed)
-        write_mnist_csv(str(train), rng, train_n)
-        write_mnist_csv(str(test), rng, test_n)
+        for p, n in ((train, train_n), (test, test_n)):
+            if p in missing:
+                write_mnist_csv(str(p), rng, n)
+        print(f"synthesized MNIST data ({', '.join(p.name for p in missing)}"
+              f" under {d}); place real MNIST CSVs there to train/eval on "
+              "real data", flush=True)
     return str(train), str(test)
 
 
 def ensure_cifar(data_dir: str, n_batches: int = 5, per_batch: int = 2000,
                  seed: int = 42):
-    """Create synthetic CIFAR batch files under ``data_dir`` if absent.
-    Returns the list of batch paths. Mirrors the reference layout
-    ``data/cifar/data_batch_{1..5}.bin`` (model/cifar_unet.c:1877-1882)."""
+    """Return the CIFAR batch paths at the reference layout
+    ``<data_dir>/cifar/data_batch_{1..n}.bin`` (model/cifar_unet.c:1877-1882).
+
+    **Pre-existing batch files are always preferred and never overwritten**
+    — drop the real CIFAR-10 binary batches (3073-byte records) there to
+    train on real data. Only absent batches are synthesized, loudly (a
+    real/synthetic mix is flagged so it can't pass for a real-data run)."""
     d = Path(data_dir) / "cifar"
     paths = [d / f"data_batch_{i}.bin" for i in range(1, n_batches + 1)]
-    if not all(p.exists() for p in paths):
+    missing = [p for p in paths if not p.exists()]
+    if missing:
         d.mkdir(parents=True, exist_ok=True)
         rng = np.random.default_rng(seed)
-        for p in paths:
+        for p in missing:
             write_cifar_batch(str(p), rng, per_batch)
+        note = (" (MIXED with pre-existing batches — results are not a "
+                "real-data run)" if len(missing) < len(paths) else "")
+        print(f"synthesized CIFAR batches "
+              f"({', '.join(p.name for p in missing)} under {d}){note}; "
+              "place the real CIFAR-10 binary batches there to train on "
+              "real data", flush=True)
     return [str(p) for p in paths]

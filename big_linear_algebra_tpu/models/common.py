@@ -117,6 +117,20 @@ def positive_int_flag(flags, name: str) -> int:
     return value
 
 
+def presence_flag(flags, name: str) -> bool:
+    """A flag that is either absent or bare (``--name``). A value
+    (``--name=false``) is a hard error — silently enabling remat on
+    ``--remat=false`` would invert the user's intent (same strict policy as
+    positive_int_flag / unknown flags)."""
+    if name not in flags:
+        return False
+    if flags[name] != "":
+        raise ValueError(
+            f"--{name} takes no value; pass a bare --{name} to enable it "
+            f"(got --{name}={flags[name]!r})")
+    return True
+
+
 def run_cli(prog: str,
             init_fn: Callable[..., None],
             train_fn: Callable[..., None],

@@ -48,7 +48,10 @@ def _ring_blocks(n_local: int) -> tuple[int, int]:
     trip). Otherwise use equal blocks: lcm == block, padding < one block."""
     if n_local % 1024 == 0:
         return 512, 1024  # measured-best single-chip blocks, zero padding
-    b = min(512, max(8, n_local))
+    # Round up to the 8-row TPU sublane tile: Mosaic rejects misaligned
+    # block shapes on hardware (the CPU interpret mode would not catch it).
+    # _pad_nd already masks the n_pad - n_local tail rows.
+    b = -(-min(512, max(8, n_local)) // 8) * 8
     return b, b
 
 
@@ -125,20 +128,14 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, mesh: Mesh,
                    axis_name: str = "seq") -> jax.Array:
     """Sequence-sharded attention: q/k/v (B, N, d) with N sharded over
     ``axis_name``. Exact (up to fp) match of attention_dense."""
-    try:
-        from jax import shard_map
-        kw = {"check_vma": False}  # pallas_call outputs carry no vma
-    except ImportError:  # pre-promotion jax: the flag is named check_rep
-        from jax.experimental.shard_map import shard_map
-        kw = {"check_rep": False}
+    from big_linear_algebra_tpu.parallel.spmd import shard_map_fn
 
     spec = P(None, axis_name, None)
-    fn = shard_map(
+    fn = shard_map_fn(
         lambda q, k, v: _ring_flash(q, k, v, axis_name),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
-        **kw,
     )
     sharding = NamedSharding(mesh, spec)
     q, k, v = (jax.device_put(x, sharding) for x in (q, k, v))
