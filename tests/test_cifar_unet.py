@@ -139,6 +139,56 @@ def test_cli_end_to_end(env_data_dir, capsys):
     assert (env_data_dir / "cifar_unet/samples/sample_0.bmp").is_file()
 
 
+def test_run_from_train_state(env_data_dir, capsys):
+    """Crash-resume → sample: a killed train leaves only (or a newer) orbax
+    train_state; ``run`` must sample from it instead of the stale/absent CSV
+    tree (training-is-resume contract, model/mnist_nn.c:165-170)."""
+    from big_linear_algebra_tpu.data import synth
+
+    synth.ensure_cifar(str(env_data_dir), n_batches=1, per_batch=8)
+    assert cu.main(["init", "--tiny"]) == 0
+    assert cu.main(["train", "1", "--tiny", "--max-steps=1"]) == 0
+    capsys.readouterr()
+    ckpt = env_data_dir / "cifar_unet"
+    # stale CSV tree (as if the run was killed after a checkpoint but before
+    # the train-exit CSV save): backdate every CSV → prefer the train_state
+    for p in ckpt.rglob("*.csv"):
+        os.utime(p, (1.0, 1.0))
+    assert cu.main(["run", "1", "--tiny"]) == 0
+    out = capsys.readouterr().out
+    assert "sampling from train_state" in out
+    assert (ckpt / "samples/sample_0.bmp").is_file()
+    # no CSV tree at all (killed before the first train exit): the state
+    # alone is enough to sample
+    for p in list(ckpt.rglob("*.csv")):
+        p.unlink()
+    (ckpt / "samples/sample_0.bmp").unlink()
+    assert cu.main(["run", "1", "--tiny"]) == 0
+    out = capsys.readouterr().out
+    assert "no CSV tree" in out
+    assert (ckpt / "samples/sample_0.bmp").is_file()
+
+
+def test_cli_pp_flag(env_data_dir, capsys):
+    """--pp: the down/mid/up stages train as a 3-device gpipe_hetero
+    pipeline with microbatched gradient accumulation (make_train_step_pp)."""
+    from big_linear_algebra_tpu.data import synth
+
+    synth.ensure_cifar(str(env_data_dir), n_batches=1, per_batch=8)
+    assert cu.main(["init", "--tiny"]) == 0
+    capsys.readouterr()
+    assert cu.main(["train", "1", "--tiny", "--pp", "--pp-micro=2",
+                    "--max-steps=2"]) == 0
+    out = capsys.readouterr().out
+    assert "--pp: 3-stage pipeline" in out
+    assert "avg_loss" in out
+    with pytest.raises(SystemExit):
+        cu.main(["train", "1", "--tiny", "--pp", "--dp"])  # one mode per run
+    with pytest.raises(SystemExit):
+        # batch 2 not divisible into 4 microbatches
+        cu.main(["train", "1", "--tiny", "--pp"])
+
+
 def test_cli_tp_flag(env_data_dir, capsys):
     """--tp: conv kernels channel-shard over the local devices; the epoch
     runs TP via GSPMD and still converges/logs normally."""
@@ -171,3 +221,6 @@ def test_cli_dp_with_batch_layout_remat(env_data_dir, capsys):
     assert "avg_loss" in out
     with pytest.raises(ValueError):
         cu.main(["train", "1", "--tiny", "--batch"])  # bare flag: hard error
+    with pytest.raises(ValueError):
+        # --remat takes no value: --remat=false must NOT silently enable it
+        cu.main(["train", "1", "--tiny", "--remat=false"])
