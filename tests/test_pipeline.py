@@ -240,6 +240,61 @@ def test_gpipe_hetero_unet_nhwc_layout(rng):
     np.testing.assert_allclose(got_h, got_c, rtol=1e-7, atol=1e-7)
 
 
+def test_pp_train_step_matches_sequential(rng):
+    """make_train_step_pp (microbatched gpipe_hetero loss + grad
+    accumulation + Adam) produces the same updated params/opt/loss as a
+    sequential microbatched step with the same DDPM draws and the same
+    dropout fold chain (f64 — reordering noise ≤1e-9, a wrong key or a
+    dropped microbatch gradient would show at O(1e-2))."""
+    import dataclasses
+    from big_linear_algebra_tpu.models import cifar_unet as cu
+    from big_linear_algebra_tpu.nn.optim import adam_init, adam_update
+
+    cfg = dataclasses.replace(cu.TINY, compute_dtype="float64")
+    mesh = make_mesh({"stage": 3}, devices=jax.devices()[:3])
+    params = jax.tree.map(lambda a: a.astype(jnp.float64),
+                          cu.init_params(jax.random.key(0), cu.TINY))
+    opt = adam_init(params)
+    M = 2
+    x0 = jnp.asarray(rng.standard_normal((4, 3, 32, 32)))
+    key = jax.random.key(11)
+
+    # Sequential reference first (pp_step donates its params/opt buffers).
+    fns = cu.unet_pipeline_stages(cfg, train=True)
+    xt, t, noise, kd = cu._ddpm_draws(x0, key, cfg)
+    mb = x0.shape[0] // M
+    xs = xt.reshape(M, mb, *x0.shape[1:])
+    ts = t.reshape(M, mb).astype(x0.dtype)
+
+    def loss_seq(p):
+        sp = cu.split_params_stages(p)
+        preds = []
+        for m in range(M):
+            b = (xs[m], ts[m])
+            for s, (fn, stage_p) in enumerate(zip(fns, sp)):
+                b = fn(stage_p, b, jax.random.fold_in(kd, s * M + m))
+            preds.append(b)
+        pred = jnp.stack(preds).reshape(x0.shape)
+        return cu.mse_loss(pred, noise) / float(np.prod(x0.shape))
+
+    loss_want, grads = jax.value_and_grad(loss_seq)(params)
+    p_want, o_want = adam_update(params, grads, opt, cfg.learn_rate)
+
+    pp_step = cu.make_train_step_pp(mesh, cfg, n_micro=M)
+    p_pp, o_pp, loss_pp = pp_step(params, opt, x0, key)
+
+    np.testing.assert_allclose(float(loss_pp), float(loss_want), rtol=1e-9)
+    flat_got = jax.tree_util.tree_leaves_with_path(p_pp)
+    flat_want = dict(jax.tree_util.tree_leaves_with_path(p_want))
+    for path, leaf in flat_got:
+        a, b = np.asarray(leaf), np.asarray(flat_want[path])
+        np.testing.assert_allclose(
+            a, b, rtol=1e-8, atol=1e-10,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")
+    # optimizer moments advanced identically
+    np.testing.assert_allclose(int(o_pp.step), int(o_want.step))
+
+
 def test_gpipe_hetero_training_mode_gradients(rng):
     """Gradients flow through the keyed pipeline and match the sequential
     chain with the same keys."""
