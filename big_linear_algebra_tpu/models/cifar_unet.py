@@ -945,6 +945,33 @@ def sample(params, key, cfg: Config = CONFIG, num_samples: int = 1):
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "timesteps"))
+def denoise_psnr(params, x0, key, cfg: Config = CONFIG,
+                 timesteps: tuple = (1, 250, 500, 750)):
+    """Quantified sample quality (the DDPM intent of
+    model/cifar_unet.c:1936-1938, replacing the eyeball check): noise
+    held-out images to x_t, one-shot reconstruct
+    x̂₀ = (x_t − √(1−ᾱ_t)·ε̂)/√ᾱ_t from the model's noise prediction, and
+    return PSNR(x̂₀, x₀) in dB per timestep (peak-to-peak 2.0 for [−1,1]
+    pixels). A model that has learned nothing scores at/below the
+    noisy-input PSNR; training raises it — a pass/fail training-regression
+    gate (tests/test_cifar_unet.py) and the BASELINE.md quality metric."""
+    _, _, alpha_bars = ddpm_schedule(cfg)
+    noise = jax.random.normal(key, x0.shape, x0.dtype)
+
+    def psnr_at(t):
+        ab = alpha_bars[t]
+        xt = jnp.sqrt(ab) * x0 + jnp.sqrt(1.0 - ab) * noise
+        tb = jnp.full((x0.shape[0],), t, jnp.int32)
+        eps = forward(params, xt, tb, cfg, train=False).astype(jnp.float32)
+        x0_hat = (xt.astype(jnp.float32)
+                  - jnp.sqrt(1.0 - ab) * eps) / jnp.sqrt(ab)
+        mse = jnp.mean((x0_hat - x0.astype(jnp.float32)) ** 2)
+        return 10.0 * jnp.log10(4.0 / jnp.maximum(mse, 1e-12))
+
+    return jnp.stack([psnr_at(t) for t in timesteps])
+
+
 def _restore_train_target(manager, state_dir: str, target: dict, step: int):
     """Cascading restore of a ``train_state`` checkpoint: manager layout →
     StandardCheckpointer layout, each tried with the full target and then

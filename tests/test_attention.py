@@ -133,20 +133,44 @@ def test_flash_backward_two_pass_fallback(rng, monkeypatch):
                                    rtol=3e-4, atol=3e-5)
 
 
-def test_flash_vmem_budget_guard():
-    """Over-budget sequences fail at trace time with a remedy (ring
-    attention), not an opaque Mosaic allocation error."""
+@pytest.mark.parametrize("n,bq,bk", [
+    (256, 128, 128),
+    (300, 128, 128),   # non-aligned N → padding + masking in-stream
+    (300, 384, 256),   # lcm padding: a fully-padded tail k/q block exists
+])
+def test_flash_streaming_matches_dense(rng, n, bq, bk):
+    """stream=True forces the streaming-grid kernels (carried scratch
+    state, k/v blocks through the grid) — the long-N path that replaces the
+    old VMEM-budget ValueError. Fwd and all three grads must match dense."""
+    d = 16
+    q = jnp.asarray(rng.standard_normal((1, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, n, d)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((1, n, d)), jnp.float32)
+    out, vjp_f = jax.vjp(
+        lambda *a: flash_attention(*a, bq, bk, stream=True), q, k, v)
+    want, vjp_d = jax.vjp(attention_dense, q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+    for got, wantg in zip(vjp_f(g), vjp_d(g)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(wantg),
+                                   rtol=3e-4, atol=3e-5)
+
+
+def test_flash_over_budget_selects_streaming():
+    """Sequences whose K/V rows exceed the VMEM budget trace through the
+    streaming path instead of raising (VERDICT r2: remove the N-cap) —
+    N=64k single-chip f32 is legal; so is the 24k backward."""
     n, d = 65536, 128
     spec = jax.ShapeDtypeStruct((1, n, d), jnp.float32)
-    with pytest.raises(ValueError, match="ring_attention"):
-        jax.eval_shape(flash_attention, spec, spec, spec)
+    out = jax.eval_shape(flash_attention, spec, spec, spec)
+    assert out.shape == (1, n, d)
 
     def bwd(q, k, v):
         return jax.grad(lambda a: jnp.sum(flash_attention(a, k, v)))(q)
 
     spec_b = jax.ShapeDtypeStruct((1, 24576, 128), jnp.float32)
-    with pytest.raises(ValueError, match="ring_attention"):
-        jax.eval_shape(bwd, spec_b, spec_b, spec_b)
+    assert jax.eval_shape(bwd, spec_b, spec_b, spec_b).shape == spec_b.shape
 
 
 def test_attention_cross_shapes_use_dense(rng):

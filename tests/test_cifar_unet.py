@@ -139,6 +139,44 @@ def test_cli_end_to_end(env_data_dir, capsys):
     assert (env_data_dir / "cifar_unet/samples/sample_0.bmp").is_file()
 
 
+def test_denoise_psnr_improves_with_training(rng):
+    """Sample quality as a pass/fail metric (VERDICT r2 #6): one-shot
+    denoising PSNR on held-out data rises after training — fails if the
+    training path regresses to not-learning."""
+    from big_linear_algebra_tpu.nn.optim import adam_init
+
+    cfg = cu.TINY
+    params = cu.init_params(jax.random.key(0), cfg)
+    # structured held-out images (quadrant blocks) matching the synthetic
+    # training distribution's learnable statistics
+    data = jnp.asarray(
+        np.repeat(np.repeat(rng.random((96, 3, 8, 8)) * 2 - 1, 4, 2), 4, 3),
+        jnp.float32)
+    train, held = data[:64], data[64:]
+    ts = (1, 4, 6)  # early/mid/late of TINY's 8 timesteps
+
+    before = np.asarray(cu.denoise_psnr(params, held, jax.random.key(9),
+                                        cfg, ts))
+    assert np.all(np.isfinite(before))
+
+    opt = adam_init(params)
+    key = jax.random.key(3)
+    for _ in range(12):
+        key, kp, ks = jax.random.split(key, 3)
+        idx = jax.random.permutation(kp, 64)[: cfg.batch_size * 8]
+        xs = train[idx].reshape(8, cfg.batch_size, 3, 32, 32)
+        params, opt, _ = cu.train_chunk(
+            params, opt, xs, jax.random.split(ks, 8), cfg)
+
+    after = np.asarray(cu.denoise_psnr(params, held, jax.random.key(9),
+                                       cfg, ts))
+    assert np.all(np.isfinite(after))
+    # training must improve one-shot denoising at every probed timestep
+    assert np.all(after > before), (before, after)
+    # and by a sane margin in aggregate (an untrained net is ~0 dB gain)
+    assert after.mean() - before.mean() > 0.5, (before, after)
+
+
 def test_run_from_train_state(env_data_dir, capsys):
     """Crash-resume → sample: a killed train leaves only (or a newer) orbax
     train_state; ``run`` must sample from it instead of the stale/absent CSV
