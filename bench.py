@@ -242,9 +242,42 @@ def bench_flash_attention_kernel(b=4, n=4096, d=128, iters=16,
 
 def bench_flash_attention_bwd_kernel(b=4, n=4096, d=128, iters=16,
                                      dtype=jnp.bfloat16):
-    """Fused flash backward throughput by kernel device time. FLOP count:
-    5 GEMMs of 2·n²·d per batch (s, dp, dv, dk, dq) = 10·b·n²·d — the
-    standard 2.5× of the forward."""
+    """FUSED (stream=False) flash backward throughput by kernel device
+    time — kept r2-comparable. FLOP count: 5 GEMMs of 2·n²·d per batch
+    (s, dp, dv, dk, dq) = 10·b·n²·d — the standard 2.5× of the forward.
+    stream=False is forced because the single-dominant-kernel matcher
+    cannot honestly time the default streaming backward (two kernels);
+    that path is measured end-to-end by bench_flash_vjp_chain."""
+    from big_linear_algebra_tpu.nn.attention import flash_attention
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, n, d)), dtype)
+    k = jnp.asarray(rng.standard_normal((b, n, d)), dtype)
+    v = jnp.asarray(rng.standard_normal((b, n, d)), dtype)
+    g = jnp.asarray(rng.standard_normal((b, n, d)), dtype)
+
+    @jax.jit
+    def chain(q, k, v, g):
+        def body(_, gg):
+            _, vjp = jax.vjp(
+                lambda a, b_, c: flash_attention(a, b_, c, 512, 1024, False),
+                q, k, gg.astype(v.dtype))
+            _, _, dv = vjp(gg)
+            return dv
+        out = jax.lax.fori_loop(0, iters, body, g)
+        return jnp.sum(out.astype(jnp.float32))
+
+    float(chain(q, k, v, g))  # warm
+    q2 = (q * 1.0009).astype(q.dtype)  # traced run != warm run (dedup)
+    dt = _kernel_time_from_trace(lambda: float(chain(q2, k, v, g)), iters)
+    return 10 * b * n * n * d * iters / dt if dt else None
+
+
+def bench_flash_vjp_chain(b=4, n=4096, d=128, iters=16, dtype=jnp.bfloat16):
+    """Default-policy (resident fwd + streaming bwd) fwd+bwd throughput by
+    the loop's total device time. FLOP credit: 4 fwd + 10 bwd GEMM units
+    of 2·n²·d (recompute not credited) = 14·b·n²·d. Round-3 measurement:
+    203 TF/s at n=4096 vs 181 with the fused backward (BASELINE.md)."""
     from big_linear_algebra_tpu.nn.attention import flash_attention
 
     rng = np.random.default_rng(0)
@@ -264,8 +297,8 @@ def bench_flash_attention_bwd_kernel(b=4, n=4096, d=128, iters=16,
 
     float(chain(q, k, v, g))  # warm
     q2 = (q * 1.0009).astype(q.dtype)  # traced run != warm run (dedup)
-    dt = _kernel_time_from_trace(lambda: float(chain(q2, k, v, g)), iters)
-    return 10 * b * n * n * d * iters / dt if dt else None
+    dt = _loop_time_from_trace(lambda: float(chain(q2, k, v, g)))
+    return 14 * b * n * n * d * iters / dt if dt else None
 
 
 def bench_xla_matmul():
@@ -386,6 +419,11 @@ def main():
     pallas_bf16 = kernel_rate or chain_rate
     extras = {
         "pallas_matmul_chain_gflops": round(chain_rate / 1e9, 1),
+        # the chain harness's unfused bf16 convert is run-sensitive: the
+        # chain number moves up to ±5% between runs while the kernel trace
+        # number is stable to <0.1% (r1→r2: 176.7→169.1). The kernel metric
+        # is the headline; the chain is a sanity cross-check only.
+        "pallas_matmul_chain_expected_spread_pct": 5,
         "kernel_timing_source": "device_trace" if kernel_rate else "chain",
     }
     try:
@@ -394,8 +432,12 @@ def main():
         extras["flash_attention_bf16_gflops"] = round(flash / 1e9, 1)
         flash_bwd = bench_flash_attention_bwd_kernel()
         if flash_bwd:
-            extras["flash_attention_bwd_bf16_gflops"] = round(
+            extras["flash_attention_fused_bwd_bf16_gflops"] = round(
                 flash_bwd / 1e9, 1)
+        flash_chain = bench_flash_vjp_chain()
+        if flash_chain:
+            extras["flash_attention_fwdbwd_chain_gflops"] = round(
+                flash_chain / 1e9, 1)
         extras["mnist_nn_images_per_sec"] = round(bench_mnist_nn(), 1)
         unet = bench_unet_step()
         if unet:

@@ -565,6 +565,7 @@ def _flash_fwd(q, k, v, block_q, block_k, stream=None):
             jax.ShapeDtypeStruct((b, n_pad, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=_FWD_VMEM_BUDGET),
         interpret=use_interpret(),
     )(qp, kp, vp)

@@ -76,6 +76,28 @@ def test_kernels_to_matrix_order(rng):
     assert kmat[4, 0] == kernels[0, 1, 0, 0]
 
 
+def test_conv2d_packed_matches_xla(rng):
+    """Batch-packed implicit-GEMM conv (B·H·W on the MXU lane axis —
+    VERDICT r2 #1, the small-resolution regime) fwd+bwd parity vs the
+    production conv2d, incl. non-square maps and the cross-example roll
+    boundary (the flat roll may wrap into a neighbouring example; the
+    validity mask must zero exactly those reads)."""
+    from big_linear_algebra_tpu.nn.conv_implicit import conv2d_packed
+
+    for (b, c, h, w, f, k) in [(4, 8, 8, 8, 16, 3), (3, 4, 5, 7, 8, 5),
+                               (16, 8, 4, 4, 8, 3)]:
+        x = jnp.asarray(rng.standard_normal((b, c, h, w)), jnp.float32)
+        kr = jnp.asarray(rng.standard_normal((f, c, k, k)) * 0.2, jnp.float32)
+        g = jnp.asarray(rng.standard_normal((b, f, h, w)), jnp.float32)
+        out, vjp = jax.vjp(conv2d_packed, x, kr)
+        want, vjp_ref = jax.vjp(lambda x, kr: conv2d(x, kr, 1), x, kr)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        for got, ref in zip(vjp(g), vjp_ref(g)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-5)
+
+
 def test_conv2d_implicit_matches_xla(rng):
     """Implicit-GEMM Pallas conv (k² shifted VMEM GEMMs) fwd+bwd parity vs
     the production conv2d at U-Net-like shapes, incl. boundary handling."""

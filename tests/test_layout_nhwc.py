@@ -195,8 +195,12 @@ def test_unet_remat_grad_parity(rng):
 
 
 def test_cfg_flag_remat():
-    assert cu._cfg_from_flags({"tiny": True, "remat": True}).remat
-    assert not cu._cfg_from_flags({"tiny": True}).remat
+    # parse_flags represents a bare --remat as "" — a value is a hard error
+    # (silently enabling remat on --remat=false would invert the intent)
+    assert cu._cfg_from_flags({"tiny": "", "remat": ""}).remat
+    assert not cu._cfg_from_flags({"tiny": ""}).remat
+    with pytest.raises(ValueError, match="--remat takes no value"):
+        cu._cfg_from_flags({"tiny": "", "remat": "false"})
 
 
 def test_unet_train_step_nhwc_learns(rng):
