@@ -606,6 +606,11 @@ def unet_pipeline_stages(cfg: Config = CONFIG, train: bool = False):
                 "cfg, train=True) for training-mode dropout")
         return jax.random.split(key[0], n) if train else [dead] * n
 
+    def _cast(p):
+        # mixed precision: master params (f32) meet dt activations — cast
+        # like ``forward`` does (:550-552); no-op when dtypes already match
+        return jax.tree.map(lambda a: a.astype(dt), p)
+
     def stage_down(p, boundary, *key):
         x, t = boundary
         keys = _keys(key, 8)
@@ -613,19 +618,19 @@ def unet_pipeline_stages(cfg: Config = CONFIG, train: bool = False):
         x = x.astype(dt)
         if nhwc:
             x = x.transpose(0, 2, 3, 1)
-        skips = _down_stage(p, x, temb, cfg, keys, train, nhwc)
+        skips = _down_stage(_cast(p), x, temb, cfg, keys, train, nhwc)
         return skips + (temb,)
 
     def stage_mid(p, boundary, *key):
         s1, s2, s3, s4, temb = boundary
         keys = _keys(key, 2)
-        h = _mid_stage(p, s4, temb, cfg, keys, train, nhwc)
+        h = _mid_stage(_cast(p), s4, temb, cfg, keys, train, nhwc)
         return h, (s1, s2, s3, s4), temb
 
     def stage_up(p, boundary, *key):
         h, skips, temb = boundary
         keys = _keys(key, 8)
-        out = _up_stage(p, h, skips, temb, cfg, keys, train, nhwc)
+        out = _up_stage(_cast(p), h, skips, temb, cfg, keys, train, nhwc)
         return out.transpose(0, 3, 1, 2) if nhwc else out
 
     return [stage_down, stage_mid, stage_up]

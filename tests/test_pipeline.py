@@ -98,6 +98,33 @@ def test_gpipe_hetero_matches_sequential(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_hetero_stats(rng):
+    """hetero_stats reports the packing plan gpipe_hetero actually uses:
+    padded width = widest boundary, tick count, padding fractions."""
+    from big_linear_algebra_tpu.parallel.pipeline import hetero_stats
+
+    fns, params = _hetero_fns_params(rng)
+    M, B = 5, 4
+    xs = jnp.zeros((M, B, 6), jnp.float32)
+    s = hetero_stats(fns, params, xs)
+    # boundaries: (B,6)=24, (B,10)=40, {a:(B,4), s:(B,)}=20, (B,3)=12
+    assert s["boundary_widths"] == [24, 40, 20, 12]
+    assert s["padded_width"] == 40
+    assert s["n_stages"] == 3 and s["n_micro"] == M
+    assert s["n_ticks"] == M + 2 and s["fill_drain_ticks"] == 2
+    np.testing.assert_allclose(s["padding_frac"],
+                               [1 - 24 / 40, 0.0, 0.5, 1 - 12 / 40])
+    assert s["bytes_per_tick"] == 40 * 4
+    assert s["ppermute_bytes_total"] == (M + 2) * 40 * 4
+    assert s["ring_bytes_total"] == 3 * (M + 2) * 40 * 4
+    # steady-state useful bytes: internal boundaries (40 + 20) per microbatch
+    assert s["useful_boundary_bytes"] == (40 + 20) * M * 4
+    np.testing.assert_allclose(s["utilization"], M / (M + 2))
+    # param widths: 60, 44, 15 -> padded 60
+    assert s["param_widths"] == [60, 44, 15]
+    assert s["param_padded_width"] == 60
+
+
 def test_gpipe_hetero_gradients_match(rng):
     from big_linear_algebra_tpu.parallel.pipeline import gpipe_hetero
 
@@ -293,6 +320,29 @@ def test_pp_train_step_matches_sequential(rng):
             err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")
     # optimizer moments advanced identically
     np.testing.assert_allclose(int(o_pp.step), int(o_want.step))
+
+
+def test_pp_train_step_mixed_precision(rng):
+    """The PP step runs at the production bf16 config with f32 master
+    params — the stage fns must cast params to the compute dtype like
+    ``forward`` does (regression: the cast was missing, so ``--pp`` at the
+    default bf16 config crashed at trace time with a conv dtype mismatch)."""
+    import dataclasses
+    from big_linear_algebra_tpu.models import cifar_unet as cu
+    from big_linear_algebra_tpu.nn.optim import adam_init
+
+    cfg = dataclasses.replace(cu.TINY, compute_dtype="bfloat16")
+    mesh = make_mesh({"stage": 3}, devices=jax.devices()[:3])
+    params = cu.init_params(jax.random.key(0), cu.TINY)  # f32 masters
+    opt = adam_init(params)
+    x0 = jnp.asarray(rng.standard_normal((4, 3, 32, 32)), jnp.float32)
+
+    pp_step = cu.make_train_step_pp(mesh, cfg, n_micro=2)
+    p2, o2, loss = pp_step(params, opt, x0, jax.random.key(3))
+    assert np.isfinite(float(loss))
+    # master params stay f32 (the cast happens inside the stage fns)
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(p2))
 
 
 def test_gpipe_hetero_training_mode_gradients(rng):
