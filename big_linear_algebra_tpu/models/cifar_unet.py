@@ -102,6 +102,19 @@ class Config:
     # activations from the boundary — trades ~1/3 more FLOPs for the
     # activation memory of the whole block chain (bigger batches per HBM)
     remat: bool = False
+    # PRNG impl for the model's root keys (dropout masks, DDPM draws,
+    # sampling noise). "rbg" generates random bits with the TPU hardware
+    # RNG (XLA RngBitGenerator) instead of software threefry shift/xor
+    # chains on the VPU: 45% of the reference-scale train step's device
+    # time sits in fusions carrying threefry rounds (masks are generated
+    # forward and REgenerated in backward), and rbg cuts the step
+    # 4.015 → 3.214 ms (measured; tools/prng_experiment.py; no-dropout
+    # ceiling 3.060). Key *derivation* (split/fold_in) stays
+    # threefry-based under "rbg", so per-(step, block) key chains keep
+    # their mixing guarantees. "threefry2x32" is the bit-stable-across-
+    # compilers option (the reference's srand(42)+rand() has no bit
+    # parity with either — SURVEY.md §8.2 RNG-parity note).
+    prng: str = "rbg"
 
 
 CONFIG = Config()
@@ -109,6 +122,18 @@ CONFIG = Config()
 TINY = Config(embed_dims=(8, 12, 12, 12), time_embed_dim=16, group_size=4,
               key_dim=4, timesteps=8, batch_size=2, image_size=32,
               compute_dtype="float32")  # full-precision for CPU parity tests
+
+_PRNG_IMPLS = ("rbg", "unsafe_rbg", "threefry2x32")
+
+
+def root_key(seed, cfg: Config = CONFIG) -> jax.Array:
+    """Model root key under ``cfg.prng`` — the impl propagates through
+    every split/fold_in, so this one choice switches all downstream
+    dropout masks / DDPM draws to the configured generator."""
+    if cfg.prng not in _PRNG_IMPLS:
+        raise ValueError(f"cfg.prng must be one of {_PRNG_IMPLS}, "
+                         f"got {cfg.prng!r}")
+    return jax.random.key(int(seed), impl=cfg.prng)
 
 
 def ckpt_dir() -> Path:
@@ -996,9 +1021,20 @@ def _restore_train_target(manager, state_dir: str, target: dict, step: int):
         restorers.append(lambda t: manager.restore(t, step=step))
     restorers.append(
         lambda t: ckpt_pytree.restore_pytree(state_dir, t, step=step))
+    targets = [target]
+    if "key_data" in target:
+        # a checkpoint written under the other key-impl family has a
+        # different key_data width (threefry 2 words, rbg/unsafe_rbg 4) —
+        # try that shape too so old streams restore across a prng switch
+        width = target["key_data"].shape[-1]
+        alt_impl = "threefry2x32" if width == 4 else "rbg"
+        targets.append(dict(
+            target,
+            key_data=jax.random.key_data(jax.random.key(0, impl=alt_impl))))
     old = {"params": target["params"], "opt": target["opt"]}
+    targets.append(old)
     last_exc = None
-    for t in (target, old):
+    for t in targets:
         for r in restorers:
             try:
                 return dict(r(t))
@@ -1006,6 +1042,23 @@ def _restore_train_target(manager, state_dir: str, target: dict, step: int):
                 last_exc = e
     raise FileNotFoundError(
         f"could not restore step {step} from {state_dir}") from last_exc
+
+
+def _wrap_restored_key(key_data, cfg: Config) -> jax.Array:
+    """Rehydrate a restored RNG key, inferring the impl from the stored
+    width (threefry 2 uint32 words, rbg family 4). A checkpoint written
+    under a different impl than ``cfg.prng`` keeps its own stream — the
+    resumed run continues the original draws exactly (at the original
+    impl's speed) rather than silently restarting the stream."""
+    kd = jnp.asarray(key_data)
+    if kd.shape[-1] == 2:
+        impl = "threefry2x32"
+    else:
+        impl = cfg.prng if cfg.prng in ("rbg", "unsafe_rbg") else "rbg"
+    if impl != cfg.prng:
+        print(f"resuming the checkpoint's RNG stream with its original "
+              f"impl {impl} (config requests {cfg.prng})")
+    return jax.random.wrap_key_data(kd, impl=impl)
 
 
 def _params_for_run(cfg: Config):
@@ -1030,9 +1083,9 @@ def _params_for_run(cfg: Config):
             use_state = state_mtime > csv_file.stat().st_mtime
     if not use_state:
         return load_params_csv(cfg)
-    params = init_params(jax.random.key(cfg.seed), cfg)
+    params = init_params(root_key(cfg.seed, cfg), cfg)
     target = {"params": params, "opt": adam_init(params),
-              "key_data": jax.random.key_data(jax.random.key(cfg.seed)),
+              "key_data": jax.random.key_data(root_key(cfg.seed, cfg)),
               "epoch": np.zeros((), np.int32)}
     manager = None
     try:
@@ -1065,12 +1118,20 @@ def _cfg_from_flags(flags) -> Config:
         cfg = dataclasses.replace(cfg, layout=layout)
     if common.presence_flag(flags, "remat"):
         cfg = dataclasses.replace(cfg, remat=True)
+    if "prng" in flags:
+        impl = {"threefry": "threefry2x32"}.get(
+            str(flags["prng"]), str(flags["prng"]))
+        if impl not in _PRNG_IMPLS:
+            raise ValueError(
+                f"--prng must be one of threefry, rbg, unsafe_rbg; "
+                f"got {flags['prng']!r}")
+        cfg = dataclasses.replace(cfg, prng=impl)
     return cfg
 
 
 def init(flags=None) -> None:
     cfg = _cfg_from_flags(flags)
-    params = init_params(jax.random.key(cfg.seed), cfg)
+    params = init_params(root_key(cfg.seed, cfg), cfg)
     save_params_csv(params, cfg)
     print(f"initialized parameters in {ckpt_dir()}")
 
@@ -1086,13 +1147,13 @@ def train(num_epochs: int, *args, flags=None) -> None:
         params = load_params_csv(cfg)
     elif step0 is None:
         print("no checkpoint found; initializing")
-        params = init_params(jax.random.key(cfg.seed), cfg)
+        params = init_params(root_key(cfg.seed, cfg), cfg)
     else:
         # a train_state exists — restore() below supplies params; skip the
         # multi-megabyte CSV tree parse it would immediately overwrite
-        params = init_params(jax.random.key(cfg.seed), cfg)
+        params = init_params(root_key(cfg.seed, cfg), cfg)
     opt_state = adam_init(params)
-    key = jax.random.key(cfg.seed)
+    key = root_key(cfg.seed, cfg)
     epoch0 = 0
     # Async checkpoint manager: per-epoch saves overlap training, keep-last-k
     # retention (--keep=k, 0 = unbounded), optional best-k by loss
@@ -1110,7 +1171,7 @@ def train(num_epochs: int, *args, flags=None) -> None:
         if "key_data" in restored:
             # resume the RNG stream where it left off — replaying the first
             # run's permutations/noise draws would correlate the updates
-            key = jax.random.wrap_key_data(restored["key_data"])
+            key = _wrap_restored_key(restored["key_data"], cfg)
             epoch0 = int(restored["epoch"])
         else:
             key = jax.random.fold_in(key, int(opt_state.step))
@@ -1299,7 +1360,7 @@ def run(num_predictions: int = 1, flags=None) -> None:
     # non-positive count would become a negative array shape
     n = 1 if num_predictions < 1 else num_predictions
     params = _params_for_run(cfg)
-    imgs = sample(params, jax.random.key(int(flags.get("sample-seed") or 0)),
+    imgs = sample(params, root_key(int(flags.get("sample-seed") or 0), cfg),
                   cfg, n)
     out_dir = ckpt_dir() / "samples"
     for i in range(n):
@@ -1318,7 +1379,7 @@ def main(argv=None) -> int:
         run_usage="run [<num samples> (default 1)]",
         extra_flags=("dp", "tp", "pp", "pp-micro", "tiny", "max-steps",
                      "scan-steps", "host-loop", "sample-seed", "keep",
-                     "keep-best", "batch", "layout", "remat"),
+                     "keep-best", "batch", "layout", "remat", "prng"),
     )
 
 

@@ -262,3 +262,80 @@ def test_cli_dp_with_batch_layout_remat(env_data_dir, capsys):
     with pytest.raises(ValueError):
         # --remat takes no value: --remat=false must NOT silently enable it
         cu.main(["train", "1", "--tiny", "--remat=false"])
+
+
+def test_prng_config_and_flag():
+    """--prng selects the key impl (rbg = TPU hardware RNG for random bits,
+    measured 4.015 -> 3.214 ms/step at reference scale; threefry = the
+    bit-stable-across-compilers stream). Bad values are hard errors."""
+    import dataclasses
+
+    assert cu._cfg_from_flags({"prng": "threefry"}).prng == "threefry2x32"
+    assert cu._cfg_from_flags({"prng": "rbg"}).prng == "rbg"
+    assert cu._cfg_from_flags({"prng": "unsafe_rbg"}).prng == "unsafe_rbg"
+    with pytest.raises(ValueError):
+        cu._cfg_from_flags({"prng": "xorshift"})
+    with pytest.raises(ValueError):
+        cu._cfg_from_flags({"prng": ""})  # bare --prng
+    # the impl rides the key dtype and survives split/fold_in
+    k = cu.root_key(0, cu._cfg_from_flags({"prng": "rbg"}))
+    assert "rbg" in str(k.dtype)
+    assert "rbg" in str(jax.random.split(jax.random.fold_in(k, 3), 2).dtype)
+    with pytest.raises(ValueError):
+        cu.root_key(0, dataclasses.replace(CFG, prng="bogus"))
+
+
+def test_train_step_learns_with_rbg_keys(rng):
+    """The shipped default (cfg.prng="rbg"): dropout masks come from the
+    hardware-RNG key family; training still learns and stays finite."""
+    params = cu.init_params(cu.root_key(0, CFG), CFG)
+    opt = cu.adam_init(params)
+    x0 = jnp.asarray(rng.standard_normal((2, 3, 32, 32)) * 0.5, jnp.float32)
+    key = cu.root_key(2, CFG)
+    losses = []
+    for _ in range(30):
+        key, k = jax.random.split(key)
+        params, opt, loss = cu.train_step(params, opt, x0, k, CFG)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]), losses
+
+
+def test_wrap_restored_key_infers_impl(capsys):
+    """Resume across a --prng switch: the stored key_data width identifies
+    the impl family; the resumed run continues the original stream."""
+    kd_tf = jax.random.key_data(jax.random.key(7, impl="threefry2x32"))
+    kd_rbg = jax.random.key_data(jax.random.key(7, impl="rbg"))
+    # rbg config resuming a threefry checkpoint keeps the threefry stream
+    k = cu._wrap_restored_key(kd_tf, CFG)
+    assert "fry" in str(k.dtype)
+    assert "original impl threefry2x32" in capsys.readouterr().out
+    np.testing.assert_array_equal(jax.random.key_data(k), kd_tf)
+    # same-family restore is silent
+    k2 = cu._wrap_restored_key(kd_rbg, CFG)
+    assert "rbg" in str(k2.dtype)
+    assert "original impl" not in capsys.readouterr().out
+    # threefry config resuming an rbg checkpoint: width 4 -> rbg family
+    import dataclasses
+
+    k3 = cu._wrap_restored_key(
+        kd_rbg, dataclasses.replace(CFG, prng="threefry2x32"))
+    assert "rbg" in str(k3.dtype)
+    assert "original impl rbg" in capsys.readouterr().out
+
+
+def test_cli_resume_across_prng_switch(env_data_dir, capsys):
+    """train --prng=threefry then plain train (rbg default): the second run
+    restores the threefry checkpoint (different key_data width) and keeps
+    its RNG stream rather than silently restarting it."""
+    from big_linear_algebra_tpu.data import synth
+
+    synth.ensure_cifar(str(env_data_dir), n_batches=1, per_batch=8)
+    assert cu.main(["init", "--tiny"]) == 0
+    assert cu.main(["train", "1", "--tiny", "--prng=threefry",
+                    "--max-steps=1"]) == 0
+    capsys.readouterr()
+    assert cu.main(["train", "1", "--tiny", "--max-steps=1"]) == 0
+    out = capsys.readouterr().out
+    assert "resumed train state" in out
+    assert "original impl threefry2x32" in out

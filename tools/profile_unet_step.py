@@ -27,7 +27,7 @@ def main(iters=64):
     params = cu.init_params(jax.random.key(0), cfg)
     xs = jnp.asarray(rng.standard_normal(
         (iters, cfg.batch_size, 3, 32, 32)) * 0.5, jnp.float32)
-    keys = jax.random.split(jax.random.key(1), iters)
+    keys = jax.random.split(jax.random.key(1, impl=cfg.prng), iters)
     opt = cu.adam_init(params)
     fn = jax.jit(lambda p, o, x, k: cu.train_chunk(p, o, x, k, cfg))
     _, _, losses = fn(params, opt, xs, keys)

@@ -1,0 +1,119 @@
+"""What do the U-Net step's copy/slice instructions move?
+
+The rbg-era breakdown (tools/unet_step_categories.py) shows ~470 us/step
+(14.6%) in copy / copy-done / slice-done instructions. This joins those
+trace events back to the compiled HLO, aggregates by (shape, bytes) and
+prints the top movers so the overhead can be attributed (loop-carried
+state that failed to alias? layout transposes? microscheduler DMA?).
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/unet_copy_audit.py
+"""
+
+import collections
+import re
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bench import _trace_events
+
+_BYTES = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "pred": 1, "f64": 8,
+          "s8": 1, "u8": 1}
+
+
+def shape_bytes(ty):
+    m = re.match(r'(\w+)\[([\d,]*)\]', ty)
+    if not m:
+        return 0
+    n = 1
+    for d in m.group(2).split(","):
+        if d:
+            n *= int(d)
+    return n * _BYTES.get(m.group(1), 4)
+
+
+def main(iters=64):
+    from big_linear_algebra_tpu.models import cifar_unet as cu
+
+    cfg = cu.CONFIG
+    rng = np.random.default_rng(0)
+    params = cu.init_params(jax.random.key(0), cfg)
+    xs = jnp.asarray(rng.standard_normal(
+        (iters, cfg.batch_size, 3, 32, 32)) * 0.5, jnp.float32)
+    keys = jax.random.split(jax.random.key(1, impl=cfg.prng), iters)
+    opt = cu.adam_init(params)
+    fn = jax.jit(lambda p, o, x, k: cu.train_chunk(p, o, x, k, cfg))
+    hlo = fn.lower(params, opt, xs, keys).compile().as_text()
+
+    # instruction name -> (op, result type, full line)
+    info = {}
+    for m in re.finditer(
+            r'^\s*(?:ROOT )?%?([\w.\-]+) = (\([^)]*\)|\S+) '
+            r'(copy|copy-start|copy-done|slice|dynamic-slice|bitcast|'
+            r'transpose)\(', hlo, re.M):
+        info[m.group(1)] = (m.group(3), m.group(2))
+
+    out = fn(params, opt, xs, keys)
+    jax.block_until_ready(out[2])
+
+    def run_once():
+        o = fn(params, opt, xs, keys)
+        jax.block_until_ready(o[2])
+
+    events, pids = _trace_events(run_once)
+    if events is None:
+        print("profiler unavailable")
+        return 1
+    tids = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tids[(e.get("pid"), e.get("tid"))] = e.get(
+                "args", {}).get("name", "")
+    agg = collections.Counter()
+    for e in events:
+        if (e.get("ph") == "X" and "dur" in e
+                and "device" in str(pids.get(e.get("pid"), "")).lower()
+                and "ops" in tids.get((e.get("pid"), e.get("tid")),
+                                      "").lower()):
+            base = e["name"].split(".")[0]
+            if base in ("copy", "copy-done", "slice-done", "copy-start",
+                        "slice-start", "slice", "dynamic-slice"):
+                agg[e["name"]] += e["dur"]
+
+    # group by result type signature
+    by_ty = collections.Counter()
+    by_ty_cnt = collections.Counter()
+    missing = 0.0
+    for name, us in agg.items():
+        # slice-done events correspond to the async pair's slice name
+        key = name
+        for cand in (name, name.replace("-done", ""),
+                     name.replace("-done", "-start"),
+                     name.replace("slice-done", "slice")):
+            if cand in info:
+                key = cand
+                break
+        if key in info:
+            op, ty = info[key]
+            by_ty[(op, ty)] += us
+            by_ty_cnt[(op, ty)] += 1
+        else:
+            missing += us
+            by_ty[("?", name.split(".")[0])] += us
+            by_ty_cnt[("?", name.split(".")[0])] += 1
+
+    total = sum(agg.values())
+    print(f"total copy/slice device time: {total / iters:.1f} us/step")
+    print(f"{'op':<12} {'type':<42} {'us/step':>8} {'MiB/step':>9} "
+          f"{'count':>5}")
+    for (op, ty), us in by_ty.most_common(25):
+        mb = shape_bytes(ty) * by_ty_cnt[(op, ty)] / 2**20
+        print(f"{op:<12} {ty[:42]:<42} {us / iters:>8.1f} {mb:>9.2f} "
+              f"{by_ty_cnt[(op, ty)]:>5}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 64))

@@ -36,8 +36,10 @@ def fusion_bodies(hlo_text):
                          re.M | re.S):
         comps[m.group(1)] = m.group(2)
     out = {}
+    # the type can be a tuple "(bf16[...], f32[...])" with spaces — match
+    # non-greedily up to the literal " fusion(" token
     for m in re.finditer(
-            r'^\s*(?:ROOT )?%?([\w.\-]+) = \S+ fusion\(.*?calls=%([\w.\-]+)',
+            r'^\s*(?:ROOT )?%?([\w.\-]+) = .*? fusion\(.*?calls=%([\w.\-]+)',
             hlo_text, re.M):
         name, comp = m.group(1), m.group(2)
         body = comps.get(comp, "")
@@ -85,7 +87,7 @@ def main(iters=64):
     params = cu.init_params(jax.random.key(0), cfg)
     xs = jnp.asarray(rng.standard_normal(
         (iters, cfg.batch_size, 3, 32, 32)) * 0.5, jnp.float32)
-    keys = jax.random.split(jax.random.key(1), iters)
+    keys = jax.random.split(jax.random.key(1, impl=cfg.prng), iters)
     opt = cu.adam_init(params)
     fn = jax.jit(lambda p, o, x, k: cu.train_chunk(p, o, x, k, cfg))
     lowered = fn.lower(params, opt, xs, keys).compile()
