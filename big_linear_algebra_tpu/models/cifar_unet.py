@@ -575,6 +575,12 @@ def forward(params, x, t, cfg: Config = CONFIG, key=None,
     if x.dtype != dt:
         x = x.astype(dt)
         params = jax.tree.map(lambda p: p.astype(dt), params)
+        # NOTE: forcing one materialized bf16 weight tree here (an
+        # optimization_barrier so consumers share a single f32->bf16
+        # convert instead of re-reading the 2x-wide f32 master per use)
+        # was measured SLOWER at reference scale — 3.365 ms/step kernels-
+        # only, 3.682 whole-tree, vs 3.214 letting XLA duplicate the
+        # converts (BASELINE.md round-3 copy-traffic note).
     keys = jax.random.split(key, 24)
     temb = time_embedding(t, cfg).astype(dt)
 
