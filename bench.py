@@ -101,6 +101,33 @@ def bench_pallas_matmul(block=None):
         lambda a, b: _pallas_mm(a, b, "nn", block, jnp.float32))
 
 
+def bench_pallas_matmul_chain_loop(m=4096, iters=16):
+    """End-to-end chain throughput (kernel + the harness's unfused bf16
+    convert) by the device while-loop's trace time. Same quantity the
+    slope harness estimates, but stable run-to-run: the wall-clock slope
+    swings up to ±9% through the remote-dispatch tunnel (BENCH r1→r3:
+    176.7 / 169.1 / 159.4) while trace-derived numbers repeat to <0.1%.
+    Returns FLOP/s or None when the profiler is unavailable."""
+    from big_linear_algebra_tpu.ops.matmul import _pallas_mm
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((m, m)) / np.sqrt(m), jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((m, m)), jnp.bfloat16)
+
+    @jax.jit
+    def chain(a, b):
+        def body(_, bb):
+            return _pallas_mm(a, bb, "nn", None, jnp.float32).astype(
+                jnp.bfloat16)
+        return jnp.sum(jax.lax.fori_loop(0, iters, body, b).astype(
+            jnp.float32))
+
+    float(chain(a, b))  # warm
+    a2 = (a * 1.0009).astype(a.dtype)  # traced run != warm run (dedup)
+    dt = _loop_time_from_trace(lambda: float(chain(a2, b)))
+    return 2 * m ** 3 * iters / dt if dt else None
+
+
 def _trace_events(run_once):
     """Profile one execution and return (events, pid→process-name)."""
     import glob
@@ -142,10 +169,13 @@ def _trace_events(run_once):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _kernel_time_from_trace(run_once, iters):
+def _kernel_time_from_trace(run_once, iters, exclude=("convert",)):
     """Total device time (seconds) of the dominant per-iteration kernel in a
     profiled execution: the largest-total-duration event that occurs exactly
-    ``iters`` times (excluding converts). None if profiling is unavailable.
+    ``iters`` times (excluding ``exclude`` name substrings). None if
+    profiling is unavailable. Pass ``exclude=()`` when the kernel of
+    interest itself fuses a convert (e.g. XLA names its dot+convert body
+    "convolution_convert_fusion").
     """
     import collections
 
@@ -163,7 +193,8 @@ def _kernel_time_from_trace(run_once, iters):
             cnt[e["name"]] += 1
     candidates = [
         (dur, name) for name, dur in agg.items()
-        if cnt[name] == iters and "convert" not in name.lower()
+        if cnt[name] == iters
+        and not any(x in name.lower() for x in exclude)
     ]
     if not candidates:
         return None
@@ -306,6 +337,34 @@ def bench_xla_matmul():
         lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32))
 
 
+def bench_xla_matmul_kernel(m=4096, iters=16):
+    """XLA dot sanity anchor by kernel device time — the slope-based
+    ``bench_xla_matmul`` chain is run-sensitive through the remote-dispatch
+    tunnel (one BENCH_r03 stability pair measured it ABOVE the roofline,
+    225 vs 197 TF/s — impossible, i.e. slope noise), while the trace-derived
+    number is stable to <0.1% run-to-run like the Pallas kernel metric."""
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((m, m)) / np.sqrt(m), jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((m, m)), jnp.bfloat16)
+
+    @jax.jit
+    def chain(a, b):
+        def body(_, bb):
+            return jnp.dot(a, bb, preferred_element_type=jnp.float32).astype(
+                jnp.bfloat16)
+        return jnp.sum(jax.lax.fori_loop(0, iters, body, b).astype(
+            jnp.float32))
+
+    float(chain(a, b))  # warm
+    a2 = (a * 1.0009).astype(a.dtype)  # traced run != warm run (dedup)
+    # exclude=(): XLA fuses the dot WITH the chain's bf16 convert into
+    # one "convolution_convert_fusion" — the default convert filter
+    # would skip the kernel of interest and pick a tiny copy instead
+    dt = _kernel_time_from_trace(lambda: float(chain(a2, b)), iters,
+                                 exclude=())
+    return 2 * m ** 3 * iters / dt if dt else None
+
+
 def bench_flash_attention(b=4, n=4096, d=128, dtype=jnp.bfloat16):
     from big_linear_algebra_tpu.nn.attention import flash_attention
 
@@ -411,23 +470,29 @@ def bench_unet_step(iters=64):
 
 def main():
     peak = roofline_bf16()
-    chain_rate = bench_pallas_matmul()
+    # end-to-end chain: trace loop time when the profiler is available (the
+    # wall-clock slope swings up to ±9% through the tunnel — r1→r3 BENCH:
+    # 176.7/169.1/159.4 — while trace numbers repeat to <0.1%)
+    chain_rate = bench_pallas_matmul_chain_loop()
+    chain_src = "device_trace" if chain_rate else "wallclock_slope"
+    chain_rate = chain_rate or bench_pallas_matmul()
     kernel_rate = bench_pallas_matmul_kernel()
     # headline: the kernel's own device time when the profiler is available
     # (the chained harness adds an unfused convert XLA's dot fuses away);
-    # fall back to the end-to-end chain slope otherwise
+    # fall back to the end-to-end chain otherwise
     pallas_bf16 = kernel_rate or chain_rate
     extras = {
         "pallas_matmul_chain_gflops": round(chain_rate / 1e9, 1),
-        # the chain harness's unfused bf16 convert is run-sensitive: the
-        # chain number moves up to ±5% between runs while the kernel trace
-        # number is stable to <0.1% (r1→r2: 176.7→169.1). The kernel metric
-        # is the headline; the chain is a sanity cross-check only.
-        "pallas_matmul_chain_expected_spread_pct": 5,
+        "pallas_matmul_chain_source": chain_src,
+        # expected run-to-run spread of the chain metric: trace-derived
+        # <0.5%; the wallclock-slope fallback has measured up to ±9%
+        "pallas_matmul_chain_expected_spread_pct":
+            1 if chain_src == "device_trace" else 9,
         "kernel_timing_source": "device_trace" if kernel_rate else "chain",
     }
     try:
-        extras["xla_matmul_bf16_gflops"] = round(bench_xla_matmul() / 1e9, 1)
+        xla_rate = bench_xla_matmul_kernel() or bench_xla_matmul()
+        extras["xla_matmul_bf16_gflops"] = round(xla_rate / 1e9, 1)
         flash = bench_flash_attention_kernel() or bench_flash_attention()
         extras["flash_attention_bf16_gflops"] = round(flash / 1e9, 1)
         flash_bwd = bench_flash_attention_bwd_kernel()
