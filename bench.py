@@ -101,15 +101,11 @@ def bench_pallas_matmul(block=None):
         lambda a, b: _pallas_mm(a, b, "nn", block, jnp.float32))
 
 
-def bench_pallas_matmul_chain_loop(m=4096, iters=16):
-    """End-to-end chain throughput (kernel + the harness's unfused bf16
-    convert) by the device while-loop's trace time. Same quantity the
-    slope harness estimates, but stable run-to-run: the wall-clock slope
-    swings up to ±9% through the remote-dispatch tunnel (BENCH r1→r3:
-    176.7 / 169.1 / 159.4) while trace-derived numbers repeat to <0.1%.
-    Returns FLOP/s or None when the profiler is unavailable."""
-    from big_linear_algebra_tpu.ops.matmul import _pallas_mm
-
+def _matmul_chain_runner(mm, m=4096, iters=16):
+    """Shared chained-matmul trace harness: warm-compile the fori_loop
+    chain, then return a thunk executing it on perturbed input (the
+    traced run must differ from the warm run or upstream dedup skips
+    it — CLAUDE.md benchmarking note)."""
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.standard_normal((m, m)) / np.sqrt(m), jnp.bfloat16)
     b = jnp.asarray(rng.standard_normal((m, m)), jnp.bfloat16)
@@ -117,15 +113,34 @@ def bench_pallas_matmul_chain_loop(m=4096, iters=16):
     @jax.jit
     def chain(a, b):
         def body(_, bb):
-            return _pallas_mm(a, bb, "nn", None, jnp.float32).astype(
-                jnp.bfloat16)
+            return mm(a, bb).astype(jnp.bfloat16)
         return jnp.sum(jax.lax.fori_loop(0, iters, body, b).astype(
             jnp.float32))
 
     float(chain(a, b))  # warm
-    a2 = (a * 1.0009).astype(a.dtype)  # traced run != warm run (dedup)
-    dt = _loop_time_from_trace(lambda: float(chain(a2, b)))
-    return 2 * m ** 3 * iters / dt if dt else None
+    a2 = (a * 1.0009).astype(a.dtype)
+    return lambda: float(chain(a2, b))
+
+
+def bench_pallas_matmul_trace(m=4096, iters=16):
+    """(kernel FLOP/s, end-to-end chain FLOP/s) from ONE profiling session:
+    the kernel metric is the Pallas matmul's own device time; the chain
+    metric is the device while-loop (kernel + the harness's unfused bf16
+    convert). Both trace-derived — the wall-clock slope harness swings up
+    to ±9% through the remote-dispatch tunnel (BENCH r1→r3: 176.7 / 169.1
+    / 159.4) while trace numbers repeat to <0.1%. (None, None) when the
+    profiler is unavailable."""
+    from big_linear_algebra_tpu.ops.matmul import _pallas_mm
+
+    run = _matmul_chain_runner(
+        lambda a, b: _pallas_mm(a, b, "nn", None, jnp.float32), m, iters)
+    totals, loop = _device_event_totals(run)
+    if totals is None:
+        return None, None
+    kdt = _pick_kernel_time(totals, iters, ("convert",))
+    ldt = loop * 1e-6 if loop else None
+    flops = 2 * m ** 3 * iters
+    return (flops / kdt if kdt else None, flops / ldt if ldt else None)
 
 
 def _trace_events(run_once):
@@ -169,32 +184,37 @@ def _trace_events(run_once):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _kernel_time_from_trace(run_once, iters, exclude=("convert",)):
-    """Total device time (seconds) of the dominant per-iteration kernel in a
-    profiled execution: the largest-total-duration event that occurs exactly
-    ``iters`` times (excluding ``exclude`` name substrings). None if
-    profiling is unavailable. Pass ``exclude=()`` when the kernel of
-    interest itself fuses a convert (e.g. XLA names its dot+convert body
-    "convolution_convert_fusion").
-    """
+def _device_event_totals(run_once):
+    """One profiling session → (per-name (total_us, count) dict, loop_us).
+    Device rows only — host-side events with coincidental counts must not
+    be selected. loop_us is the device-side ``while`` event's duration
+    ("while" or "while.<id>" depending on graph). (None, None) if the
+    profiler is unavailable."""
     import collections
 
     events, pids = _trace_events(run_once)
     if events is None:
-        return None
+        return None, None
     agg = collections.Counter()
     cnt = collections.Counter()
+    loop = 0
     for e in events:
-        # device rows only — host-side events with coincidental counts must
-        # not be selected, and duplicate rows must not disqualify the kernel
+        name = e.get("name", "")
         if (e.get("ph") == "X" and "dur" in e
                 and "device" in str(pids.get(e.get("pid"), "")).lower()):
-            agg[e["name"]] += e["dur"]
-            cnt[e["name"]] += 1
+            if name == "while" or name.startswith("while."):
+                loop = max(loop, e["dur"])
+            agg[name] += e["dur"]
+            cnt[name] += 1
+    return {n: (agg[n], cnt[n]) for n in agg}, loop
+
+
+def _pick_kernel_time(totals, iters, exclude):
+    """Largest-total-duration event occurring exactly ``iters`` times
+    (skipping ``exclude`` name substrings) → seconds, or None."""
     candidates = [
-        (dur, name) for name, dur in agg.items()
-        if cnt[name] == iters
-        and not any(x in name.lower() for x in exclude)
+        (dur, name) for name, (dur, cnt) in totals.items()
+        if cnt == iters and not any(x in name.lower() for x in exclude)
     ]
     if not candidates:
         return None
@@ -202,23 +222,22 @@ def _kernel_time_from_trace(run_once, iters, exclude=("convert",)):
     return dur_us * 1e-6
 
 
+def _kernel_time_from_trace(run_once, iters, exclude=("convert",)):
+    """Total device time (seconds) of the dominant per-iteration kernel in a
+    profiled execution. None if profiling is unavailable. Pass
+    ``exclude=()`` when the kernel of interest itself fuses a convert
+    (e.g. XLA names its dot+convert body "convolution_convert_fusion")."""
+    totals, _ = _device_event_totals(run_once)
+    return _pick_kernel_time(totals, iters, exclude) if totals else None
+
+
 def _loop_time_from_trace(run_once):
     """Device time (seconds) of the fori_loop body across ALL its kernels:
     the duration of the device-side ``while`` event (the compiled loop).
     The right measure for multi-kernel steps (e.g. a whole train step) where
     no single kernel dominates. None if profiling is unavailable."""
-    events, pids = _trace_events(run_once)
-    if events is None:
-        return None
-    best = 0
-    for e in events:
-        name = e.get("name", "")
-        # XLA names the loop "while" or "while.<id>" depending on graph
-        if (e.get("ph") == "X"
-                and (name == "while" or name.startswith("while."))
-                and "device" in str(pids.get(e.get("pid"), "")).lower()):
-            best = max(best, e["dur"])
-    return best * 1e-6 if best else None
+    _, loop = _device_event_totals(run_once)
+    return loop * 1e-6 if loop else None
 
 
 def bench_pallas_matmul_kernel(m=4096, iters=16):
@@ -228,24 +247,7 @@ def bench_pallas_matmul_kernel(m=4096, iters=16):
     (~0.05 ms/iter) that XLA's dot fuses into its epilogue — so the chain
     number under-reports the kernel by ~6%. Returns FLOP/s or None.
     """
-    from big_linear_algebra_tpu.ops.matmul import _pallas_mm
-
-    rng = np.random.default_rng(0)
-    a = jnp.asarray(rng.standard_normal((m, m)) / np.sqrt(m), jnp.bfloat16)
-    b = jnp.asarray(rng.standard_normal((m, m)), jnp.bfloat16)
-
-    @jax.jit
-    def chain(a, b):
-        def body(_, bb):
-            return _pallas_mm(a, bb, "nn", None, jnp.float32).astype(
-                jnp.bfloat16)
-        return jnp.sum(jax.lax.fori_loop(0, iters, body, b).astype(
-            jnp.float32))
-
-    float(chain(a, b))  # warm
-    a2 = (a * 1.0009).astype(a.dtype)  # traced run != warm run (dedup)
-    dt = _kernel_time_from_trace(lambda: float(chain(a2, b)), iters)
-    return 2 * m ** 3 * iters / dt if dt else None
+    return bench_pallas_matmul_trace(m, iters)[0]
 
 
 def bench_flash_attention_kernel(b=4, n=4096, d=128, iters=16,
@@ -342,26 +344,15 @@ def bench_xla_matmul_kernel(m=4096, iters=16):
     ``bench_xla_matmul`` chain is run-sensitive through the remote-dispatch
     tunnel (one BENCH_r03 stability pair measured it ABOVE the roofline,
     225 vs 197 TF/s — impossible, i.e. slope noise), while the trace-derived
-    number is stable to <0.1% run-to-run like the Pallas kernel metric."""
-    rng = np.random.default_rng(0)
-    a = jnp.asarray(rng.standard_normal((m, m)) / np.sqrt(m), jnp.bfloat16)
-    b = jnp.asarray(rng.standard_normal((m, m)), jnp.bfloat16)
+    number is stable to <0.1% run-to-run like the Pallas kernel metric.
 
-    @jax.jit
-    def chain(a, b):
-        def body(_, bb):
-            return jnp.dot(a, bb, preferred_element_type=jnp.float32).astype(
-                jnp.bfloat16)
-        return jnp.sum(jax.lax.fori_loop(0, iters, body, b).astype(
-            jnp.float32))
-
-    float(chain(a, b))  # warm
-    a2 = (a * 1.0009).astype(a.dtype)  # traced run != warm run (dedup)
-    # exclude=(): XLA fuses the dot WITH the chain's bf16 convert into
-    # one "convolution_convert_fusion" — the default convert filter
-    # would skip the kernel of interest and pick a tiny copy instead
-    dt = _kernel_time_from_trace(lambda: float(chain(a2, b)), iters,
-                                 exclude=())
+    exclude=(): XLA fuses the dot WITH the chain's bf16 convert into one
+    "convolution_convert_fusion" — the default convert filter would skip
+    the kernel of interest and pick a tiny copy instead."""
+    run = _matmul_chain_runner(
+        lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32),
+        m, iters)
+    dt = _kernel_time_from_trace(run, iters, exclude=())
     return 2 * m ** 3 * iters / dt if dt else None
 
 
@@ -438,6 +429,41 @@ def bench_mnist_nn(iters=2048):
     return cfg.batch_size / dt
 
 
+def unet_chunk_setup(cfg=None, iters=64):
+    """(jitted ``train_chunk``, (params, opt, xs, keys)) at ``cfg`` —
+    the ONE measurement harness behind bench_unet_step and every
+    tools/ experiment (prng/layout/copy-audit/high-res), so harness
+    fixes land in one place. Keys come from ``cu.root_key`` (the
+    config's PRNG impl, validated)."""
+    from big_linear_algebra_tpu.models import cifar_unet as cu
+
+    cfg = cfg or cu.CONFIG
+    rng = np.random.default_rng(0)
+    params = cu.init_params(jax.random.key(0), cfg)
+    xs = jnp.asarray(rng.standard_normal(
+        (iters, cfg.batch_size, 3, cfg.image_size, cfg.image_size)) * 0.5,
+        jnp.float32)
+    keys = jax.random.split(cu.root_key(1, cfg), iters)
+    opt = cu.adam_init(params)
+    fn = jax.jit(lambda p, o, x, k: cu.train_chunk(p, o, x, k, cfg))
+    return fn, (params, opt, xs, keys)
+
+
+def unet_chunk_ms(cfg=None, iters=64):
+    """ms/step of the U-Net train chunk at ``cfg`` by trace device-loop
+    time; None when the profiler is unavailable."""
+    fn, args = unet_chunk_setup(cfg, iters)
+    out = fn(*args)
+    jax.block_until_ready(out[2])  # warm/compile (persistently cached)
+
+    def run_once():
+        o = fn(*args)
+        jax.block_until_ready(o[2])
+
+    dt = _loop_time_from_trace(run_once)
+    return dt / iters * 1e3 if dt else None
+
+
 def bench_unet_step(iters=64):
     """cifar_unet (reference-scale DDPM U-Net, batch 16, bf16 mixed
     precision) ms/step: device time of the ``train_chunk`` scan's while loop
@@ -445,38 +471,22 @@ def bench_unet_step(iters=64):
     measurements in BASELINE.md so the compile is persistently cached."""
     from big_linear_algebra_tpu.models import cifar_unet as cu
 
-    cfg = cu.CONFIG
-    rng = np.random.default_rng(0)
-    params = cu.init_params(jax.random.key(0), cfg)
-    xs = jnp.asarray(rng.standard_normal(
-        (iters, cfg.batch_size, 3, 32, 32)) * 0.5, jnp.float32)
-    keys = jax.random.split(jax.random.key(1, impl=cfg.prng), iters)
-    opt = cu.adam_init(params)
-    fn = jax.jit(lambda p, o, x, k: cu.train_chunk(p, o, x, k, cfg))
-    _, _, losses = fn(params, opt, xs, keys)
-    jax.block_until_ready(losses)  # warm/compile (persistently cached)
-
-    def run_once():
-        _, _, l = fn(params, opt, xs, keys)
-        jax.block_until_ready(l)
-
-    dt = _loop_time_from_trace(run_once)
-    if not dt:
+    ms = unet_chunk_ms(None, iters)
+    if ms is None:
         return None
-    ms = dt / iters * 1e3
     # images/sec derived from the SAME config the chunk ran with
-    return ms, cfg.batch_size
+    return ms, cu.CONFIG.batch_size
 
 
 def main():
     peak = roofline_bf16()
-    # end-to-end chain: trace loop time when the profiler is available (the
-    # wall-clock slope swings up to ±9% through the tunnel — r1→r3 BENCH:
-    # 176.7/169.1/159.4 — while trace numbers repeat to <0.1%)
-    chain_rate = bench_pallas_matmul_chain_loop()
+    # kernel + end-to-end chain from ONE profiling session; the wall-clock
+    # slope harness is only the no-profiler fallback (it swings up to ±9%
+    # through the tunnel — r1→r3 BENCH: 176.7/169.1/159.4 — while trace
+    # numbers repeat to <0.1%)
+    kernel_rate, chain_rate = bench_pallas_matmul_trace()
     chain_src = "device_trace" if chain_rate else "wallclock_slope"
     chain_rate = chain_rate or bench_pallas_matmul()
-    kernel_rate = bench_pallas_matmul_kernel()
     # headline: the kernel's own device time when the profiler is available
     # (the chained harness adds an unfused convert XLA's dot fuses away);
     # fall back to the end-to-end chain otherwise

@@ -1016,48 +1016,72 @@ def denoise_psnr(params, x0, key, cfg: Config = CONFIG,
     return jnp.stack([psnr_at(t) for t in timesteps])
 
 
+_PRNG_CODES = {"threefry2x32": 0, "rbg": 1, "unsafe_rbg": 2}
+_PRNG_NAMES = {v: k for k, v in _PRNG_CODES.items()}
+
+
+def _key_state(key) -> dict:
+    """Checkpoint fields for an RNG key: the raw ``key_data`` plus an
+    explicit impl code — rbg and unsafe_rbg share a key_data width, so
+    width alone cannot name the stream a checkpoint carries."""
+    impl = str(jax.random.key_impl(key))
+    return {"key_data": jax.random.key_data(key),
+            "prng": np.asarray(_PRNG_CODES.get(impl, 1), np.int32)}
+
+
 def _restore_train_target(manager, state_dir: str, target: dict, step: int):
     """Cascading restore of a ``train_state`` checkpoint: manager layout →
-    StandardCheckpointer layout, each tried with the full target and then
-    with a pre-RNG-state target (params + opt only, for checkpoints written
-    before the key/epoch fields existed). Returns a dict with at least
-    ``params``/``opt``."""
+    StandardCheckpointer layout, each tried against progressively older
+    target schemas — full (key_data + prng code), pre-prng-code (key_data
+    only), both also at the *other* key-impl family's key_data width
+    (threefry 2 words, rbg family 4 — so streams restore across a --prng
+    switch), and finally params+opt only (pre-RNG-state checkpoints).
+    Returns a dict with at least ``params``/``opt``."""
     restorers = []
     if manager is not None:
         restorers.append(lambda t: manager.restore(t, step=step))
     restorers.append(
         lambda t: ckpt_pytree.restore_pytree(state_dir, t, step=step))
-    targets = [target]
+    targets = []
     if "key_data" in target:
-        # a checkpoint written under the other key-impl family has a
-        # different key_data width (threefry 2 words, rbg/unsafe_rbg 4) —
-        # try that shape too so old streams restore across a prng switch
         width = target["key_data"].shape[-1]
         alt_impl = "threefry2x32" if width == 4 else "rbg"
-        targets.append(dict(
-            target,
-            key_data=jax.random.key_data(jax.random.key(0, impl=alt_impl))))
-    old = {"params": target["params"], "opt": target["opt"]}
-    targets.append(old)
-    last_exc = None
+        alt_kd = jax.random.key_data(jax.random.key(0, impl=alt_impl))
+        no_prng = {k: v for k, v in target.items() if k != "prng"}
+        for kd in (target["key_data"], alt_kd):
+            if "prng" in target:
+                targets.append(dict(target, key_data=kd))
+            targets.append(dict(no_prng, key_data=kd))
+    else:
+        targets.append(target)
+    targets.append({"params": target["params"], "opt": target["opt"]})
+    first_exc = None
     for t in targets:
         for r in restorers:
             try:
                 return dict(r(t))
             except Exception as e:
-                last_exc = e
+                # keep the FIRST failure as the cause: it is the full-schema
+                # attempt, whose error names the real problem (a corrupted
+                # checkpoint) rather than the legacy schemas' mismatches
+                first_exc = first_exc or e
     raise FileNotFoundError(
-        f"could not restore step {step} from {state_dir}") from last_exc
+        f"could not restore step {step} from {state_dir}") from first_exc
 
 
-def _wrap_restored_key(key_data, cfg: Config) -> jax.Array:
-    """Rehydrate a restored RNG key, inferring the impl from the stored
-    width (threefry 2 uint32 words, rbg family 4). A checkpoint written
-    under a different impl than ``cfg.prng`` keeps its own stream — the
-    resumed run continues the original draws exactly (at the original
-    impl's speed) rather than silently restarting the stream."""
+def _wrap_restored_key(key_data, cfg: Config, prng_code=None) -> jax.Array:
+    """Rehydrate a restored RNG key. The impl comes from the checkpoint's
+    explicit ``prng`` code when present; older checkpoints fall back to
+    width inference (threefry 2 uint32 words, rbg family 4 — a width-4
+    legacy checkpoint is assumed rbg/cfg-impl, since rbg and unsafe_rbg
+    are indistinguishable by width). A checkpoint written under a
+    different impl than ``cfg.prng`` keeps its own stream — the resumed
+    run continues the original draws exactly (at the original impl's
+    speed) rather than silently restarting the stream."""
     kd = jnp.asarray(key_data)
-    if kd.shape[-1] == 2:
+    if prng_code is not None:
+        impl = _PRNG_NAMES[int(prng_code)]
+    elif kd.shape[-1] == 2:
         impl = "threefry2x32"
     else:
         impl = cfg.prng if cfg.prng in ("rbg", "unsafe_rbg") else "rbg"
@@ -1089,9 +1113,11 @@ def _params_for_run(cfg: Config):
             use_state = state_mtime > csv_file.stat().st_mtime
     if not use_state:
         return load_params_csv(cfg)
-    params = init_params(root_key(cfg.seed, cfg), cfg)
+    # init draws stay threefry: bit-stable across compiler versions and
+    # backends, and a one-time cost (the rbg speed win is per-step masks)
+    params = init_params(jax.random.key(cfg.seed), cfg)
     target = {"params": params, "opt": adam_init(params),
-              "key_data": jax.random.key_data(root_key(cfg.seed, cfg)),
+              **_key_state(root_key(cfg.seed, cfg)),
               "epoch": np.zeros((), np.int32)}
     manager = None
     try:
@@ -1137,7 +1163,9 @@ def _cfg_from_flags(flags) -> Config:
 
 def init(flags=None) -> None:
     cfg = _cfg_from_flags(flags)
-    params = init_params(root_key(cfg.seed, cfg), cfg)
+    # threefry init: bit-stable across compiler versions/backends; the rbg
+    # perf win is entirely in per-step mask bits, not this one-time draw
+    params = init_params(jax.random.key(cfg.seed), cfg)
     save_params_csv(params, cfg)
     print(f"initialized parameters in {ckpt_dir()}")
 
@@ -1153,11 +1181,12 @@ def train(num_epochs: int, *args, flags=None) -> None:
         params = load_params_csv(cfg)
     elif step0 is None:
         print("no checkpoint found; initializing")
-        params = init_params(root_key(cfg.seed, cfg), cfg)
+        params = init_params(jax.random.key(cfg.seed), cfg)  # threefry:
+        # bit-stable init; the rbg win is per-step masks, not this draw
     else:
         # a train_state exists — restore() below supplies params; skip the
         # multi-megabyte CSV tree parse it would immediately overwrite
-        params = init_params(root_key(cfg.seed, cfg), cfg)
+        params = init_params(jax.random.key(cfg.seed), cfg)
     opt_state = adam_init(params)
     key = root_key(cfg.seed, cfg)
     epoch0 = 0
@@ -1169,7 +1198,7 @@ def train(num_epochs: int, *args, flags=None) -> None:
         state_dir, max_to_keep=keep,
         best_metric="loss" if "keep-best" in flags else None)
     target = {"params": params, "opt": opt_state,
-              "key_data": jax.random.key_data(key),
+              **_key_state(key),
               "epoch": np.zeros((), np.int32)}
     if step0 is not None:
         restored = _restore_train_target(manager, state_dir, target, step0)
@@ -1177,7 +1206,8 @@ def train(num_epochs: int, *args, flags=None) -> None:
         if "key_data" in restored:
             # resume the RNG stream where it left off — replaying the first
             # run's permutations/noise draws would correlate the updates
-            key = _wrap_restored_key(restored["key_data"], cfg)
+            key = _wrap_restored_key(restored["key_data"], cfg,
+                                     restored.get("prng"))
             epoch0 = int(restored["epoch"])
         else:
             key = jax.random.fold_in(key, int(opt_state.step))
@@ -1275,7 +1305,7 @@ def train(num_epochs: int, *args, flags=None) -> None:
             # async: serialization overlaps the next epoch's compute
             manager.save(int(opt_state.step),
                          {"params": params, "opt": opt_state,
-                          "key_data": jax.random.key_data(key),
+                          **_key_state(key),
                           "epoch": np.asarray(epoch + 1, np.int32)},
                          metrics={"loss": float(losses.mean())})
         save_params_csv(params, cfg)
@@ -1349,7 +1379,7 @@ def train(num_epochs: int, *args, flags=None) -> None:
                    step=int(opt_state.step))
         manager.save(int(opt_state.step),
                      {"params": params, "opt": opt_state,
-                      "key_data": jax.random.key_data(key),
+                      **_key_state(key),
                       "epoch": np.asarray(epoch + 1, np.int32)},
                      metrics={"loss": float(np.mean(losses))})
     save_params_csv(params, cfg)

@@ -373,3 +373,32 @@ def test_image_size_64_engages_flash_in_model(rng, monkeypatch):
     # mid (8x8 = 64 tokens) stays dense
     assert len(calls) == 4, calls
     assert all(s[1] == 1024 for s in calls), calls
+
+
+def test_wrap_restored_key_prng_code_disambiguates(capsys):
+    """rbg and unsafe_rbg share a key_data width; the checkpoint's explicit
+    prng code names the stream exactly (width inference is the legacy
+    fallback)."""
+    kd = jax.random.key_data(jax.random.key(5, impl="unsafe_rbg"))
+    k = cu._wrap_restored_key(kd, CFG, prng_code=cu._PRNG_CODES["unsafe_rbg"])
+    assert "urbg" in str(k.dtype)  # unsafe_rbg's dtype tag
+    assert "original impl unsafe_rbg" in capsys.readouterr().out
+    st = cu._key_state(jax.random.key(5, impl="unsafe_rbg"))
+    assert int(st["prng"]) == cu._PRNG_CODES["unsafe_rbg"]
+    assert st["key_data"].shape[-1] == 4
+
+
+def test_cli_resume_across_unsafe_rbg(env_data_dir, capsys):
+    """unsafe_rbg checkpoints resume as unsafe_rbg under the rbg default —
+    the explicit prng field survives the save/restore round trip."""
+    from big_linear_algebra_tpu.data import synth
+
+    synth.ensure_cifar(str(env_data_dir), n_batches=1, per_batch=8)
+    assert cu.main(["init", "--tiny"]) == 0
+    assert cu.main(["train", "1", "--tiny", "--prng=unsafe_rbg",
+                    "--max-steps=1"]) == 0
+    capsys.readouterr()
+    assert cu.main(["train", "1", "--tiny", "--max-steps=1"]) == 0
+    out = capsys.readouterr().out
+    assert "resumed train state" in out
+    assert "original impl unsafe_rbg" in out

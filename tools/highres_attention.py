@@ -8,69 +8,51 @@ blocks run at N = 32² = 1024 = ``_FLASH_MIN_N``, so the same training
 program crosses the dispatch threshold and the flash Pallas kernels
 (fwd + streaming bwd) execute inside the real train step.
 
-Measures the 64×64 train step (trace device-loop time, bf16) twice:
-with the normal dispatch (flash at N=1024) and with attention forced
-dense (threshold raised), to check the dispatch choice is right at this
-shape too.
+Measures the 64×64 train step (bench.unet_chunk_ms, bf16) twice: with
+the normal dispatch (flash at N=1024) and with attention forced dense
+(threshold raised), to check the dispatch choice is right at this shape
+too. Measured (round 3, batch 8): flash 5.916 = dense 5.916 ms/step —
+cost-equal in context (attention is ~4% of step FLOPs at d=16), so the
+threshold holds and flash engages at zero penalty (BASELINE.md).
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/highres_attention.py
 """
 
 import dataclasses
+import importlib
 import sys
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from bench import _loop_time_from_trace
-
-
-def measure(cfg, iters=32):
-    from big_linear_algebra_tpu.models import cifar_unet as cu
-
-    rng = np.random.default_rng(0)
-    params = cu.init_params(jax.random.key(0), cfg)
-    xs = jnp.asarray(rng.standard_normal(
-        (iters, cfg.batch_size, 3, cfg.image_size, cfg.image_size)) * 0.5,
-        jnp.float32)
-    keys = jax.random.split(jax.random.key(1, impl=cfg.prng), iters)
-    opt = cu.adam_init(params)
-    fn = jax.jit(lambda p, o, x, k: cu.train_chunk(p, o, x, k, cfg))
-    _, _, l = fn(params, opt, xs, keys)
-    jax.block_until_ready(l)
-
-    def run_once():
-        _, _, l = fn(params, opt, xs, keys)
-        jax.block_until_ready(l)
-
-    dt = _loop_time_from_trace(run_once)
-    return dt / iters * 1e3 if dt else None
+from bench import unet_chunk_ms
+from big_linear_algebra_tpu.models import cifar_unet as cu
 
 
 def main():
-    import importlib
-
     # the module (nn/__init__ re-exports a same-named function, which
     # shadows `import ... as` attribute resolution)
     attn = importlib.import_module("big_linear_algebra_tpu.nn.attention")
-    from big_linear_algebra_tpu.models import cifar_unet as cu
 
     cfg = dataclasses.replace(cu.CONFIG, image_size=64, batch_size=8)
 
-    ms_flash = measure(cfg)
+    ms_flash = unet_chunk_ms(cfg, iters=32)
+    if ms_flash is None:
+        print("trace unavailable")
+        return 1
     print(f"64x64 batch {cfg.batch_size} train step, flash dispatch "
           f"(N=1024 sites): {ms_flash:.3f} ms/step", flush=True)
 
     old = attn._FLASH_MIN_N
     attn._FLASH_MIN_N = 1 << 30
     try:
-        ms_dense = measure(cfg)
+        ms_dense = unet_chunk_ms(cfg, iters=32)
     finally:
         attn._FLASH_MIN_N = old
+    if ms_dense is None:
+        print("trace unavailable for the dense variant")
+        return 1
     print(f"64x64 batch {cfg.batch_size} train step, dense attention "
           f"forced: {ms_dense:.3f} ms/step", flush=True)
     print(f"flash/dense: {ms_flash / ms_dense:.3f}", flush=True)
+    return 0
 
 
 if __name__ == "__main__":

@@ -6,15 +6,19 @@ masks are generated in the forward and *regenerated* in the backward
 (XLA rematerializes random bits rather than storing masks), so the
 software PRNG rides the critical path of the conv fusions twice.
 
-This measures ``train_chunk`` (same K=64 chunk as bench.bench_unet_step,
-trace device-loop time) under:
+This measures ``train_chunk`` (bench.unet_chunk_ms — the same K=64 chunk
+as bench_unet_step, trace device-loop time) under:
 
-- threefry  : default `jax.random.key` impl (the cached baseline)
-- rbg       : `jax.random.key(.., impl="rbg")` — random_bits via the XLA
+- threefry  : `--prng=threefry` (the round-2 default)
+- rbg       : the shipped default — random_bits via the XLA
               RngBitGenerator HLO (TPU hardware RNG); split/fold_in still
               threefry-derived, so key derivation chains stay principled
 - unsafe_rbg: RngBitGenerator for derivation too (cheapest, weakest mixing)
 - no-dropout: dropout_rate=0.0 — the ceiling (no mask cost at all)
+
+Measured (round 3, bf16 batch 16): threefry 4.015, rbg 3.214,
+unsafe_rbg 3.210, no-dropout 3.060 ms/step → rbg is the default
+(BASELINE.md "Dropout PRNG" section).
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/prng_experiment.py
 """
@@ -22,50 +26,23 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/prng_experiment.py
 import dataclasses
 import sys
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from bench import _loop_time_from_trace
-
-
-def measure(cfg, impl, iters=64):
-    from big_linear_algebra_tpu.models import cifar_unet as cu
-
-    rng = np.random.default_rng(0)
-    params = cu.init_params(jax.random.key(0), cfg)
-    xs = jnp.asarray(rng.standard_normal(
-        (iters, cfg.batch_size, 3, 32, 32)) * 0.5, jnp.float32)
-    keys = jax.random.split(jax.random.key(1, impl=impl), iters)
-    opt = cu.adam_init(params)
-    fn = jax.jit(lambda p, o, x, k: cu.train_chunk(p, o, x, k, cfg))
-    _, _, losses = fn(params, opt, xs, keys)
-    jax.block_until_ready(losses)
-
-    def run_once():
-        _, _, l = fn(params, opt, xs, keys)
-        jax.block_until_ready(l)
-
-    dt = _loop_time_from_trace(run_once)
-    return dt / iters * 1e3 if dt else None
+from bench import unet_chunk_ms
+from big_linear_algebra_tpu.models import cifar_unet as cu
 
 
 def main():
-    from big_linear_algebra_tpu.models import cifar_unet as cu
-
     cfg = cu.CONFIG
     variants = [
-        ("threefry", cfg, "threefry2x32"),
-        ("rbg", cfg, "rbg"),
-        ("unsafe_rbg", cfg, "unsafe_rbg"),
-        ("no-dropout", dataclasses.replace(cfg, dropout_rate=0.0),
-         "threefry2x32"),
+        ("threefry", dataclasses.replace(cfg, prng="threefry2x32")),
+        ("rbg", dataclasses.replace(cfg, prng="rbg")),
+        ("unsafe_rbg", dataclasses.replace(cfg, prng="unsafe_rbg")),
+        ("no-dropout", dataclasses.replace(cfg, dropout_rate=0.0)),
     ]
     only = sys.argv[1:] or None
-    for name, c, impl in variants:
+    for name, c in variants:
         if only and name not in only:
             continue
-        ms = measure(c, impl)
+        ms = unet_chunk_ms(c)
         print(f"{name:12s}: {ms:.3f} ms/step" if ms else
               f"{name:12s}: trace unavailable", flush=True)
 

@@ -20,22 +20,17 @@ from bench import _trace_events
 
 
 def main(iters=64):
+    from bench import unet_chunk_setup
     from big_linear_algebra_tpu.models import cifar_unet as cu
 
     cfg = cu.CONFIG
-    rng = np.random.default_rng(0)
-    params = cu.init_params(jax.random.key(0), cfg)
-    xs = jnp.asarray(rng.standard_normal(
-        (iters, cfg.batch_size, 3, 32, 32)) * 0.5, jnp.float32)
-    keys = jax.random.split(jax.random.key(1, impl=cfg.prng), iters)
-    opt = cu.adam_init(params)
-    fn = jax.jit(lambda p, o, x, k: cu.train_chunk(p, o, x, k, cfg))
-    _, _, losses = fn(params, opt, xs, keys)
-    jax.block_until_ready(losses)
+    fn, args = unet_chunk_setup(iters=iters)
+    out = fn(*args)
+    jax.block_until_ready(out[2])
 
     def run_once():
-        _, _, l = fn(params, opt, xs, keys)
-        jax.block_until_ready(l)
+        o = fn(*args)
+        jax.block_until_ready(o[2])
 
     events, pids = _trace_events(run_once)
     if events is None:

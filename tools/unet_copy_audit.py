@@ -24,42 +24,40 @@ _BYTES = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "pred": 1, "f64": 8,
 
 
 def shape_bytes(ty):
-    m = re.match(r'(\w+)\[([\d,]*)\]', ty)
-    if not m:
-        return 0
-    n = 1
-    for d in m.group(2).split(","):
-        if d:
-            n *= int(d)
-    return n * _BYTES.get(m.group(1), 4)
+    """Total payload bytes of a result type. Tuple types (async copy
+    pairs are ``(dest, src-alias, u32 semaphore)``) sum every array
+    element, so copy-start rows report their real payload instead of 0."""
+    total = 0
+    for m in re.finditer(r'(\w+)\[([\d,]*)\]', ty):
+        n = 1
+        for d in m.group(2).split(","):
+            if d:
+                n *= int(d)
+        total += n * _BYTES.get(m.group(1), 4)
+    return total
 
 
 def main(iters=64):
-    from big_linear_algebra_tpu.models import cifar_unet as cu
+    from bench import unet_chunk_setup
 
-    cfg = cu.CONFIG
-    rng = np.random.default_rng(0)
-    params = cu.init_params(jax.random.key(0), cfg)
-    xs = jnp.asarray(rng.standard_normal(
-        (iters, cfg.batch_size, 3, 32, 32)) * 0.5, jnp.float32)
-    keys = jax.random.split(jax.random.key(1, impl=cfg.prng), iters)
-    opt = cu.adam_init(params)
-    fn = jax.jit(lambda p, o, x, k: cu.train_chunk(p, o, x, k, cfg))
-    hlo = fn.lower(params, opt, xs, keys).compile().as_text()
+    fn, args = unet_chunk_setup(iters=iters)
+    hlo = fn.lower(*args).compile().as_text()
 
-    # instruction name -> (op, result type, full line)
+    # instruction name -> (op, result type). The type can be a tuple with
+    # nested parens in layout annotations ("{:S(2)}") — match non-greedily
+    # up to the op token instead of balancing parens.
     info = {}
     for m in re.finditer(
-            r'^\s*(?:ROOT )?%?([\w.\-]+) = (\([^)]*\)|\S+) '
+            r'^\s*(?:ROOT )?%?([\w.\-]+) = (.+?) '
             r'(copy|copy-start|copy-done|slice|dynamic-slice|bitcast|'
             r'transpose)\(', hlo, re.M):
         info[m.group(1)] = (m.group(3), m.group(2))
 
-    out = fn(params, opt, xs, keys)
+    out = fn(*args)
     jax.block_until_ready(out[2])
 
     def run_once():
-        o = fn(params, opt, xs, keys)
+        o = fn(*args)
         jax.block_until_ready(o[2])
 
     events, pids = _trace_events(run_once)
@@ -112,6 +110,9 @@ def main(iters=64):
         mb = shape_bytes(ty) * by_ty_cnt[(op, ty)] / 2**20
         print(f"{op:<12} {ty[:42]:<42} {us / iters:>8.1f} {mb:>9.2f} "
               f"{by_ty_cnt[(op, ty)]:>5}")
+    if missing:
+        print(f"unattributed (no HLO match): {missing / iters:.1f} us/step "
+              f"— rows above marked '?'")
     return 0
 
 

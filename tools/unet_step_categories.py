@@ -80,26 +80,18 @@ def resolution(body):
 
 
 def main(iters=64):
-    from big_linear_algebra_tpu.models import cifar_unet as cu
+    from bench import unet_chunk_setup
 
-    cfg = cu.CONFIG
-    rng = np.random.default_rng(0)
-    params = cu.init_params(jax.random.key(0), cfg)
-    xs = jnp.asarray(rng.standard_normal(
-        (iters, cfg.batch_size, 3, 32, 32)) * 0.5, jnp.float32)
-    keys = jax.random.split(jax.random.key(1, impl=cfg.prng), iters)
-    opt = cu.adam_init(params)
-    fn = jax.jit(lambda p, o, x, k: cu.train_chunk(p, o, x, k, cfg))
-    lowered = fn.lower(params, opt, xs, keys).compile()
-    hlo = lowered.as_text()
+    fn, args = unet_chunk_setup(iters=iters)
+    hlo = fn.lower(*args).compile().as_text()
     bodies = fusion_bodies(hlo)
     print(f"{len(bodies)} fusion instructions in HLO")
 
-    out = fn(params, opt, xs, keys)
+    out = fn(*args)
     jax.block_until_ready(out[2])
 
     def run_once():
-        o = fn(params, opt, xs, keys)
+        o = fn(*args)
         jax.block_until_ready(o[2])
 
     events, pids = _trace_events(run_once)
