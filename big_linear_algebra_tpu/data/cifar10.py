@@ -44,10 +44,12 @@ def pixels_to_chw(pixels: np.ndarray, flip_vertical: bool = False):
 
 
 def chw_to_pixels(chw: np.ndarray) -> np.ndarray:
-    """Inverse of :func:`pixels_to_chw` → uint8 plane bytes (for BMP dumps)."""
+    """Inverse of :func:`pixels_to_chw` → uint8 plane bytes (for BMP dumps).
+    Flattens the trailing (3, H, W) whatever the resolution (DATA_LENGTH
+    bytes at the on-disk 32×32; --image-size sampling produces larger)."""
     arr = np.clip(np.round((np.asarray(chw, np.float64) + 1.0) * 127.5),
                   0, 255).astype(np.uint8)
-    return arr.reshape(*arr.shape[:-3], DATA_LENGTH)
+    return arr.reshape(*arr.shape[:-3], -1)
 
 
 class Cifar10Batches:

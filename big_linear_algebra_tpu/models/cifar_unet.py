@@ -1150,6 +1150,15 @@ def _cfg_from_flags(flags) -> Config:
         cfg = dataclasses.replace(cfg, layout=layout)
     if common.presence_flag(flags, "remat"):
         cfg = dataclasses.replace(cfg, remat=True)
+    if "image-size" in flags:
+        size = common.positive_int_flag(flags, "image-size")
+        if size % 32:
+            # the model itself needs a multiple of 8 (three stride-2
+            # stages); the CLI data path also nearest-upscales the fixed
+            # 32x32 CIFAR records (lib/cifar10.c), so require x32
+            raise ValueError(
+                f"--image-size must be a multiple of 32, got {size}")
+        cfg = dataclasses.replace(cfg, image_size=size)
     if "prng" in flags:
         impl = {"threefry": "threefry2x32"}.get(
             str(flags["prng"]), str(flags["prng"]))
@@ -1168,6 +1177,20 @@ def init(flags=None) -> None:
     params = init_params(jax.random.key(cfg.seed), cfg)
     save_params_csv(params, cfg)
     print(f"initialized parameters in {ckpt_dir()}")
+
+
+def _fit_images(x, cfg: Config):
+    """Nearest-neighbor upscale of stored 32x32 CIFAR records to
+    ``cfg.image_size``. The on-disk record format is fixed by the
+    reference (3073-byte rows, lib/cifar10.c:6-13); params are
+    resolution-independent (fully convolutional, attention over
+    whatever H·W produces), so ``--image-size=64`` runs the same model
+    at higher resolution — where the down_2/up_3 attention sites cross
+    the flash-kernel dispatch threshold (BASELINE.md round 3)."""
+    k = cfg.image_size // x.shape[-1]
+    if k == 1:
+        return x
+    return jnp.repeat(jnp.repeat(x, k, -2), k, -1)
 
 
 def train(num_epochs: int, *args, flags=None) -> None:
@@ -1274,7 +1297,7 @@ def train(num_epochs: int, *args, flags=None) -> None:
     # epoch_step gathers one batch per scan step (no permuted dataset copy),
     # so peak temp HBM ≈ dataset + activations; 2 GiB keeps the same
     # headroom the old 1 GiB cutoff had when the gather doubled the dataset
-    data_bytes = data.num_examples * 3 * 32 * 32 * 4
+    data_bytes = data.num_examples * 3 * cfg.image_size ** 2 * 4
     device_epoch = (max_steps == 0 and scan_steps == 1
                     and "host-loop" not in flags
                     and pp_step is None  # PP trains via the per-step path
@@ -1282,7 +1305,7 @@ def train(num_epochs: int, *args, flags=None) -> None:
     if device_epoch:
         from big_linear_algebra_tpu.data.cifar10 import pixels_to_chw
 
-        data_dev = jnp.asarray(pixels_to_chw(data.pixels))
+        data_dev = _fit_images(jnp.asarray(pixels_to_chw(data.pixels)), cfg)
         epoch_dp = (make_epoch_step_dp(dp_mesh, cfg)
                     if dp_mesh is not None else None)
         for epoch in range(epoch0, epoch0 + num_epochs):
@@ -1349,13 +1372,14 @@ def train(num_epochs: int, *args, flags=None) -> None:
                 if len(chunk) == scan_steps:
                     key, *ks = jax.random.split(key, scan_steps + 1)
                     params, opt_state, chunk_losses = train_chunk(
-                        params, opt_state, jnp.asarray(np.stack(chunk)),
+                        params, opt_state,
+                        _fit_images(jnp.asarray(np.stack(chunk)), cfg),
                         jnp.stack(ks), cfg)
                     losses.extend(list(chunk_losses))
                     chunk = []
             else:
                 key, kstep = jax.random.split(key)
-                x0 = jnp.asarray(imgs)
+                x0 = _fit_images(jnp.asarray(imgs), cfg)
                 if step_dp is not None:
                     params, opt_state, loss = step_dp(
                         params, opt_state, x0, kstep)
@@ -1369,7 +1393,8 @@ def train(num_epochs: int, *args, flags=None) -> None:
         for imgs in chunk:  # ragged tail: per-step path
             key, kstep = jax.random.split(key)
             params, opt_state, loss = train_step(
-                params, opt_state, jnp.asarray(imgs), kstep, cfg)
+                params, opt_state, _fit_images(jnp.asarray(imgs), cfg),
+                kstep, cfg)
             losses.append(loss)
         losses = [float(l) for l in losses]
         dt = time.perf_counter() - t0
@@ -1415,7 +1440,8 @@ def main(argv=None) -> int:
         run_usage="run [<num samples> (default 1)]",
         extra_flags=("dp", "tp", "pp", "pp-micro", "tiny", "max-steps",
                      "scan-steps", "host-loop", "sample-seed", "keep",
-                     "keep-best", "batch", "layout", "remat", "prng"),
+                     "keep-best", "batch", "layout", "remat", "prng",
+                     "image-size"),
     )
 
 

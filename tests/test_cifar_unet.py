@@ -402,3 +402,41 @@ def test_cli_resume_across_unsafe_rbg(env_data_dir, capsys):
     out = capsys.readouterr().out
     assert "resumed train state" in out
     assert "original impl unsafe_rbg" in out
+
+
+def test_cli_image_size(env_data_dir, capsys):
+    """--image-size=64: the 32x32 CIFAR records nearest-upscale on device
+    and the same (resolution-independent) parameters train/sample at the
+    higher resolution — where the attention sites cross the flash
+    threshold (see test_image_size_64_engages_flash_in_model)."""
+    from big_linear_algebra_tpu.data import synth
+
+    synth.ensure_cifar(str(env_data_dir), n_batches=1, per_batch=8)
+    assert cu.main(["init", "--tiny"]) == 0
+    capsys.readouterr()
+    assert cu.main(["train", "1", "--tiny", "--image-size=64",
+                    "--max-steps=1"]) == 0
+    out = capsys.readouterr().out
+    assert "avg_loss" in out
+    assert cu.main(["run", "1", "--tiny", "--image-size=64"]) == 0
+    out = capsys.readouterr().out
+    assert "sample_0.bmp" in out
+    with pytest.raises(ValueError):
+        cu.main(["train", "1", "--tiny", "--image-size=40"])  # not x32
+    with pytest.raises(ValueError):
+        cu.main(["train", "1", "--tiny", "--image-size"])  # bare flag
+
+
+def test_fit_images_upscale():
+    import dataclasses
+
+    x = jnp.arange(2 * 3 * 2 * 2, dtype=jnp.float32).reshape(2, 3, 2, 2)
+    cfg = dataclasses.replace(cu.TINY, image_size=4)
+    y = cu._fit_images(x, cfg)
+    assert y.shape == (2, 3, 4, 4)
+    # nearest-neighbor: each source pixel becomes a 2x2 block
+    np.testing.assert_array_equal(np.asarray(y)[:, :, ::2, ::2],
+                                  np.asarray(x))
+    np.testing.assert_array_equal(np.asarray(y)[:, :, 1::2, 1::2],
+                                  np.asarray(x))
+    assert cu._fit_images(y, cfg) is y  # already at size: no-op
