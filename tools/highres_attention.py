@@ -26,34 +26,41 @@ from bench import unet_chunk_ms
 from big_linear_algebra_tpu.models import cifar_unet as cu
 
 
-def main():
+def main(size=64, batch=8):
     # the module (nn/__init__ re-exports a same-named function, which
     # shadows `import ... as` attribute resolution)
     attn = importlib.import_module("big_linear_algebra_tpu.nn.attention")
 
-    cfg = dataclasses.replace(cu.CONFIG, image_size=64, batch_size=8)
+    cfg = dataclasses.replace(cu.CONFIG, image_size=size, batch_size=batch)
+    n_attn = (size // 2) ** 2  # down_2/up_3 sites run at (size/2)^2 tokens
 
     ms_flash = unet_chunk_ms(cfg, iters=32)
     if ms_flash is None:
         print("trace unavailable")
         return 1
-    print(f"64x64 batch {cfg.batch_size} train step, flash dispatch "
-          f"(N=1024 sites): {ms_flash:.3f} ms/step", flush=True)
+    print(f"{size}x{size} batch {batch} train step, flash dispatch "
+          f"(N={n_attn} sites): {ms_flash:.3f} ms/step", flush=True)
 
     old = attn._FLASH_MIN_N
     attn._FLASH_MIN_N = 1 << 30
+    # cu.train_chunk is module-jitted with a static cfg: without clearing
+    # its trace cache the patched threshold is never consulted and the
+    # "dense" run silently re-measures the flash program (caught when two
+    # different shapes produced byte-identical timings)
+    cu.train_chunk.clear_cache()
     try:
         ms_dense = unet_chunk_ms(cfg, iters=32)
     finally:
         attn._FLASH_MIN_N = old
+        cu.train_chunk.clear_cache()
     if ms_dense is None:
         print("trace unavailable for the dense variant")
         return 1
-    print(f"64x64 batch {cfg.batch_size} train step, dense attention "
+    print(f"{size}x{size} batch {batch} train step, dense attention "
           f"forced: {ms_dense:.3f} ms/step", flush=True)
     print(f"flash/dense: {ms_flash / ms_dense:.3f}", flush=True)
     return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main(*(int(a) for a in sys.argv[1:3])))
