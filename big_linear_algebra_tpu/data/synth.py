@@ -127,10 +127,13 @@ def ensure_mnist(data_dir: str, train_n: int = 8192, test_n: int = 2048,
     missing = [p for p in (train, test) if not p.exists()]
     if missing:
         d.mkdir(parents=True, exist_ok=True)
-        rng = np.random.default_rng(seed)
-        for p, n in ((train, train_n), (test, test_n)):
+        # per-file streams: a later partial re-synthesis (one file deleted)
+        # must reproduce THAT file's draws, not restart the shared stream
+        # from position 0 (which would hand the test file the train file's
+        # prefix — correlated "held-out" data)
+        for i, (p, n) in enumerate(((train, train_n), (test, test_n))):
             if p in missing:
-                write_mnist_csv(str(p), rng, n)
+                write_mnist_csv(str(p), np.random.default_rng([seed, i]), n)
         print(f"synthesized MNIST data ({', '.join(p.name for p in missing)}"
               f" under {d}); place real MNIST CSVs there to train/eval on "
               "real data", flush=True)
@@ -151,9 +154,13 @@ def ensure_cifar(data_dir: str, n_batches: int = 5, per_batch: int = 2000,
     missing = [p for p in paths if not p.exists()]
     if missing:
         d.mkdir(parents=True, exist_ok=True)
-        rng = np.random.default_rng(seed)
+        # per-batch streams keyed by batch index: regenerating one missing
+        # batch reproduces its original content instead of duplicating
+        # batch 1's draws (silent duplicate training data)
         for p in missing:
-            write_cifar_batch(str(p), rng, per_batch)
+            i = paths.index(p) + 1
+            write_cifar_batch(str(p), np.random.default_rng([seed, i]),
+                              per_batch)
         note = (" (MIXED with pre-existing batches — results are not a "
                 "real-data run)" if len(missing) < len(paths) else "")
         print(f"synthesized CIFAR batches "

@@ -937,13 +937,13 @@ def make_train_step_pp(mesh, cfg: Config = CONFIG, axis: str = "stage",
 
 
 def place_dp_tp(mesh, params, opt_state: AdamState | None = None,
-                data_axis: str = "data", model_axis: str = "model"):
+                model_axis: str = "model"):
     """Combined DP×TP layout on a 2-D ``data×model`` mesh (the combination
     ``place_tp``'s note promises; reference all-in-one-address-space loop
     model/cifar_unet.c:1874). Params and Adam moments shard their output
     channels over ``model_axis`` (``tp_param_specs``) and replicate over
-    ``data_axis``; the caller shards each batch ``P(data_axis)`` (see
-    ``dp_tp_batch_sharding``). The regular jitted ``train_step`` then runs
+    every other mesh axis; the caller shards each batch over the data
+    axis (``dp_tp_batch_sharding``). The regular jitted ``train_step`` then runs
     DP×TP via GSPMD — batch-partitioned conv GEMMs with channel-sharded
     kernels, gradient reduce over the data axis inserted by XLA. Unlike the
     shard_map DP path, the RNG draw stays global, so the step is numerically
@@ -991,7 +991,7 @@ def sample(params, key, cfg: Config = CONFIG, num_samples: int = 1):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "timesteps"))
 def denoise_psnr(params, x0, key, cfg: Config = CONFIG,
-                 timesteps: tuple = (1, 250, 500, 750)):
+                 timesteps: tuple = None):
     """Quantified sample quality (the DDPM intent of
     model/cifar_unet.c:1936-1938, replacing the eyeball check): noise
     held-out images to x_t, one-shot reconstruct
@@ -1000,6 +1000,16 @@ def denoise_psnr(params, x0, key, cfg: Config = CONFIG,
     pixels). A model that has learned nothing scores at/below the
     noisy-input PSNR; training raises it — a pass/fail training-regression
     gate (tests/test_cifar_unet.py) and the BASELINE.md quality metric."""
+    if timesteps is None:
+        # schedule quartiles — valid for ANY cfg.timesteps (a fixed
+        # (1, 250, 500, 750) default would silently index-clamp on
+        # reduced schedules like TINY's 8 while feeding the raw t to the
+        # model: inconsistent (x_t, t) pairs, garbage PSNRs)
+        T = cfg.timesteps
+        timesteps = tuple(sorted({1, T // 4, T // 2, (3 * T) // 4}))
+    bad = [t for t in timesteps if not 0 <= t < cfg.timesteps]
+    if bad:
+        raise ValueError(f"timesteps {bad} outside [0, {cfg.timesteps})")
     _, _, alpha_bars = ddpm_schedule(cfg)
     noise = jax.random.normal(key, x0.shape, x0.dtype)
 
@@ -1278,7 +1288,8 @@ def train(num_epochs: int, *args, flags=None) -> None:
                              "this CLI (one parallelism mode per run)")
         from big_linear_algebra_tpu.parallel import make_mesh
 
-        n_micro = int(flags.get("pp-micro") or 4)
+        n_micro = (common.positive_int_flag(flags, "pp-micro")
+                   if "pp-micro" in flags else 4)
         if cfg.batch_size % n_micro:
             raise SystemExit(
                 f"--pp: batch size {cfg.batch_size} is not divisible by "

@@ -151,8 +151,14 @@ def packed_supported(x_shape, k_shape, stride: int) -> bool:
 def _conv_fwd_packed(x, kernels):
     b, c, h, w = x.shape
     f, c2, kh, kw = kernels.shape
-    assert c == c2 and kh == kw and kh % 2 == 1
-    if (jnp.dtype(jnp.result_type(x.dtype, kernels.dtype)).itemsize > 4
+    if c != c2:
+        raise ValueError(f"kernel expects {c2} input channels, x has {c}")
+    # even / non-square kernels are merely unsupported by the packed
+    # roll/mask math — fall back like every other unsupported shape
+    # (an assert here would die (or worse, run the broken math under -O)
+    # before the fallback had a chance)
+    if (kh != kw or kh % 2 == 0
+            or jnp.dtype(jnp.result_type(x.dtype, kernels.dtype)).itemsize > 4
             or not packed_supported(x.shape, kernels.shape, 1)):
         return _fwd_conv(x, kernels, 1)
     k = kh

@@ -225,6 +225,12 @@ def test_cli_pp_flag(env_data_dir, capsys):
     with pytest.raises(SystemExit):
         # batch 2 not divisible into 4 microbatches
         cu.main(["train", "1", "--tiny", "--pp"])
+    with pytest.raises(ValueError):
+        # strict flag policy: 0/negative/bare --pp-micro are hard errors,
+        # not ZeroDivisionError / silent defaults
+        cu.main(["train", "1", "--tiny", "--pp", "--pp-micro=0"])
+    with pytest.raises(ValueError):
+        cu.main(["train", "1", "--tiny", "--pp", "--pp-micro"])
 
 
 def test_cli_tp_flag(env_data_dir, capsys):

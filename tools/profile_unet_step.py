@@ -68,6 +68,9 @@ def main(iters=64):
             agg[name] += e["dur"]
             cnt[name] += 1
 
+    if not loop_us:
+        print("no device while-loop event in the trace")
+        return 1
     step_us = loop_us / iters
     print(f"loop device time: {loop_us / 1e3:.3f} ms over {iters} steps "
           f"-> {step_us * 1e-3:.3f} ms/step "

@@ -141,6 +141,9 @@ def main(iters=64):
         prim[p] += us
         prim_cnt[p] += 1
 
+    if not loop_us:
+        print("no device while-loop event in the trace")
+        return 1
     step = loop_us / iters
     print(f"\nstep: {step:.1f} us ({loop_us / 1e3:.1f} ms / {iters})")
     print(f"{'bucket':<24} {'us/step':>8} {'share':>7} {'instrs':>7}")
