@@ -87,10 +87,10 @@ class Config:
     learn_rate: float = 2e-4
     seed: int = 42
     # mixed precision by default: f32 master params/optimizer, bf16
-    # activations+weights inside the network (native MXU fast path) — 5.3×
+    # activations+weights inside the network (native MXU fast path) — 4.0×
     # faster than f32-HIGHEST on a v5e with an identical loss trajectory
-    # (12.1 vs 64.6 ms/step at batch 16); set "float32" for the
-    # full-precision parity mode
+    # (3.214 vs 12.944 ms/step at batch 16, round-3 rbg harness); set
+    # "float32" for the full-precision parity mode
     compute_dtype: str = "bfloat16"
     # Internal activation layout: "NCHW" keeps the reference's channels-first
     # maps end-to-end; "NHWC" transposes once at entry/exit and runs every
