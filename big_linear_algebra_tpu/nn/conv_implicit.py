@@ -67,11 +67,15 @@ def _conv_kernel(x_ref, w_ref, o_ref, *, k, h, w, prec):
 def _conv_fwd_pallas(x, kernels):
     b, c, h, w = x.shape
     f, c2, kh, kw = kernels.shape
-    assert c == c2 and kh == kw and kh % 2 == 1
-    # f64 (Mosaic has no f64) and shapes whose example block exceeds the
-    # VMEM budget fall back to the XLA conv — same math, no opaque Mosaic
-    # allocation error (the guard flash_attention's budget checks model)
-    if (jnp.dtype(jnp.result_type(x.dtype, kernels.dtype)).itemsize > 4
+    if c != c2:
+        raise ValueError(f"kernel expects {c2} input channels, x has {c}")
+    # Even / non-square kernels are merely unsupported by the shifted-GEMM
+    # math — fall back like f64 (Mosaic has no f64) and shapes whose
+    # example block exceeds the VMEM budget: same math via the XLA conv,
+    # no opaque Mosaic error (and no bare assert that would die — or run
+    # broken math under python -O — before the fallback had a chance)
+    if (kh != kw or kh % 2 == 0
+            or jnp.dtype(jnp.result_type(x.dtype, kernels.dtype)).itemsize > 4
             or not supported(x.shape, kernels.shape, 1)):
         return _fwd_conv(x, kernels, 1)
     k = kh

@@ -34,6 +34,8 @@ from typing import Dict, List, NamedTuple, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from big_linear_algebra_tpu.ops.precision import mxu_precision as _mxu_precision
+
 Params = List[Tuple[jax.Array, jax.Array]]  # [(W (out,in), b (out,)), ...]
 
 
@@ -65,7 +67,9 @@ def feed_forward(params: Params, activations: Sequence[str], x: jax.Array):
     acts, raws = [x], []
     a = x
     for (w, b), name in zip(params, activations):
-        raw = w @ a + b
+        # explicit precision: a bare @ would truncate these f32 matvecs to
+        # bf16 on the MXU (repo policy, ops/precision.py)
+        raw = jnp.matmul(w, a, precision=_mxu_precision(w.dtype)) + b
         a = ACTIVATIONS[name].fn(raw)
         raws.append(raw)
         acts.append(a)
@@ -90,19 +94,30 @@ def cost(params: Params, activations: Sequence[str], x: jax.Array,
     return jnp.sum((y - out) ** 2)
 
 
-def sgd_step(params: Params, activations: Sequence[str], x: jax.Array,
-             y: jax.Array, lr) -> Params:
-    """One reference backprop + SGD update (lib/layer.c:80)."""
+def _sgd_step_cost(params: Params, activations: Sequence[str],
+                   x: jax.Array, y: jax.Array, lr):
+    """One reference backprop + SGD update (lib/layer.c:80), returning
+    (new_params, pre-update cost) from the SAME forward pass — the scan
+    driver logs the cost the reference computes from the pass it then
+    backprops (model/my_first_model.c:102-105), without a second forward."""
     acts, raws = feed_forward(params, activations, x)
+    c = jnp.sum((y - acts[-1]) ** 2)
     dCda = 2.0 * (acts[-1] - y)
     new_params: Params = [None] * len(params)
     for i in reversed(range(len(params))):
         w, b = params[i]
         delta = ACTIVATIONS[activations[i]].ddx(raws[i], acts[i + 1]) * dCda
         dW = jnp.outer(delta, acts[i])
-        dCda = w.T @ delta  # pre-update weights (lib/layer.c:70)
+        # pre-update weights (lib/layer.c:70); explicit MXU precision
+        dCda = jnp.matmul(w.T, delta, precision=_mxu_precision(w.dtype))
         new_params[i] = (w - lr * dW, b - lr * delta)
-    return new_params
+    return new_params, c
+
+
+def sgd_step(params: Params, activations: Sequence[str], x: jax.Array,
+             y: jax.Array, lr) -> Params:
+    """One reference backprop + SGD update (lib/layer.c:80)."""
+    return _sgd_step_cost(params, activations, x, y, lr)[0]
 
 
 def make_sgd_step(activations: Sequence[str]):
@@ -131,8 +146,8 @@ def make_sgd_scan(activations: Sequence[str]):
     def run(params, xs, ys, lr):
         def body(p, xy):
             x, y = xy
-            c = cost(p, acts, x, y)
-            return sgd_step(p, acts, x, y, lr), c
+            new_p, c = _sgd_step_cost(p, acts, x, y, lr)
+            return new_p, c
 
         return jax.lax.scan(body, params, (xs, ys))
 

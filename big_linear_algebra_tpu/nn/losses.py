@@ -24,6 +24,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from big_linear_algebra_tpu.ops.precision import mxu_precision as _mxu_precision
+
 LOSS_EPSILON = 1e-15  # model/mnist_nn.c:15
 
 
@@ -84,14 +86,16 @@ def mse_loss(pred: jax.Array, target: jax.Array,
 def _mse_fwd(pred, target, mask):
     d = pred - target
     if mask is not None:
-        d = d * _example_mask(mask, d.ndim).astype(d.dtype)
-        # masked d: both the value Σ(m·d)² with m∈{0,1} (m² = m) and the
-        # seed 2·m·d come out of the same premasked array
+        # weight the SQUARES by m (matching the primal Σ m·d²) and seed
+        # 2·m·d — premasking d would compute Σ(m·d)² = Σ m²·d², which
+        # silently disagrees with the primal for fractional weights
+        m = _example_mask(mask, d.ndim).astype(d.dtype)
+        return jnp.sum(m * d * d), m * d
     return jnp.sum(d * d), d
 
 
-def _mse_bwd(d, g):
-    seed = (2.0 * d * g).astype(d.dtype)
+def _mse_bwd(md, g):
+    seed = (2.0 * md * g).astype(md.dtype)
     return seed, -seed, None
 
 
@@ -114,12 +118,14 @@ def hinge_loss(w: jax.Array, x: jax.Array, y: jax.Array,
     Subgradient w.r.t. w is ``−Σ_{margin<1} y_i·x_i``
     (model/mnist_hinge.c:137-149, intended descent semantics).
     """
-    margins = y * (x @ w)
+    prec = _mxu_precision(jnp.result_type(x.dtype, w.dtype))
+    margins = y * jnp.matmul(x, w, precision=prec)
     return _masked(jnp.maximum(0.0, 1.0 - margins), mask)
 
 
 def _hinge_fwd(w, x, y, mask):
-    margins = y * (x @ w)
+    prec = _mxu_precision(jnp.result_type(x.dtype, w.dtype))
+    margins = y * jnp.matmul(x, w, precision=prec)
     return (_masked(jnp.maximum(0.0, 1.0 - margins), mask),
             (x, y, margins, mask))
 
@@ -129,7 +135,10 @@ def _hinge_bwd(res, g):
     viol = (margins < 1.0).astype(x.dtype)
     if mask is not None:
         viol = viol * mask.astype(x.dtype)
-    dw = -(viol * y) @ x * g
+    # explicit precision: a bare @ would truncate f32 to bf16 on the MXU
+    # and margins near the 1.0 threshold flip the violation set
+    dw = -jnp.matmul(viol * y, x,
+                     precision=_mxu_precision(x.dtype)) * g
     return dw.astype(x.dtype), None, None, None
 
 

@@ -53,7 +53,20 @@ def _local_pipeline(params, xs, *, stage_fn, axis):
         x_t = xs[jnp.clip(t, 0, n_micro - 1)]
         feed = jnp.where(t < n_micro, x_t, jnp.zeros_like(x_t))
         inp = jnp.where(stage == 0, feed, recv)
-        out = stage_fn(params, inp)
+        # On tick t this device processes microbatch m = t − stage; outside
+        # [0, n_micro) the input is fill/drain garbage. lax.cond skips the
+        # stage entirely there: running it and discarding the output is NOT
+        # enough — a stage_fn that is non-total on zeros (x/‖x‖, log,
+        # eps=0 norms) produces NaN local derivatives, and the zero
+        # cotangent × NaN in its VJP poisons the PARAM gradients of every
+        # tick (measured: finite forward, all-NaN grads).
+        m = t - stage
+        valid = jnp.logical_and(m >= 0, m < n_micro)
+        out = jax.lax.cond(
+            valid,
+            lambda p, x: stage_fn(p, x),
+            lambda p, x: jnp.zeros_like(x),
+            params, inp)
         idx = t - (n_stages - 1)
         write = jnp.logical_and(stage == n_stages - 1, idx >= 0)
         outs = jnp.where(
@@ -143,15 +156,28 @@ def _local_hetero(params_flat, xs_flat, key, *, axis, branches, n_micro):
         x_t = xs_flat[jnp.clip(t, 0, n_micro - 1)]
         feed = jnp.where(t < n_micro, x_t, jnp.zeros_like(x_t))
         inp = jnp.where(stage == 0, feed, recv)
+        # skip fill/drain ticks entirely (m = t − stage outside the
+        # microbatch range): see _local_pipeline — a stage branch that is
+        # non-total on a zero-filled buffer would otherwise poison the
+        # param gradients with 0 × NaN through its VJP
+        m = t - stage
+        valid = jnp.logical_and(m >= 0, m < n_micro)
         if key is None:
-            out = jax.lax.switch(stage, branches, inp, pflat)
+            out = jax.lax.cond(
+                valid,
+                lambda x: jax.lax.switch(stage, branches, x, pflat),
+                jnp.zeros_like,
+                inp)
         else:
             # per-(stage, microbatch) key: on tick t this device runs
-            # microbatch t − stage (clipped on fill/drain ticks, where the
-            # result is discarded anyway)
-            micro = jnp.clip(t - stage, 0, n_micro - 1)
+            # microbatch t − stage
+            micro = jnp.clip(m, 0, n_micro - 1)
             k_t = jax.random.fold_in(key, stage * n_micro + micro)
-            out = jax.lax.switch(stage, branches, inp, pflat, k_t)
+            out = jax.lax.cond(
+                valid,
+                lambda x: jax.lax.switch(stage, branches, x, pflat, k_t),
+                jnp.zeros_like,
+                inp)
         idx = t - (n_stages - 1)
         write = jnp.logical_and(stage == n_stages - 1, idx >= 0)
         outs = jnp.where(

@@ -135,3 +135,22 @@ def test_mse_and_hinge_loss_mask(rng):
                                              y[jnp.array([0, 1, 3])]))(w)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_want),
                                rtol=1e-12)
+
+
+def test_mse_fractional_mask_primal_vjp_agree(rng):
+    """The primal and the custom-vjp forward must agree for fractional
+    masks: sum(m*d^2) with seed 2*m*d (premasking d computed sum(m^2*d^2)
+    only under differentiation — the same call silently changed value)."""
+    from big_linear_algebra_tpu.nn.losses import mse_loss
+
+    pred = jnp.asarray(rng.standard_normal((3, 4)))
+    target = jnp.asarray(rng.standard_normal((3, 4)))
+    mask = jnp.asarray([0.5, 1.0, 0.25])
+    primal = mse_loss(pred, target, mask)
+    val, grad = jax.value_and_grad(mse_loss)(pred, target, mask)
+    np.testing.assert_allclose(np.asarray(val), np.asarray(primal),
+                               rtol=1e-6)
+    m = mask[:, None]
+    np.testing.assert_allclose(np.asarray(grad),
+                               np.asarray(2.0 * m * (pred - target)),
+                               rtol=1e-6)

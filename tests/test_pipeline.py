@@ -386,3 +386,30 @@ def test_gpipe_hetero_training_mode_gradients(rng):
         np.testing.assert_allclose(
             a / scale, b / scale, rtol=0, atol=1e-7,
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_gpipe_grads_finite_with_nontotal_stage(rng):
+    """Fill/drain ticks must not execute the stage on garbage buffers: a
+    stage that is non-total on zeros (x/||x||) previously produced a finite
+    forward but all-NaN parameter gradients (0 x NaN through the discarded
+    chain's VJP). lax.cond now skips invalid ticks entirely."""
+    mesh = make_mesh({"stage": 4}, devices=jax.devices()[:4])
+    sw = jnp.asarray(rng.standard_normal((4, 6, 6)) * 0.3, jnp.float64)
+    xs = jnp.asarray(rng.standard_normal((3, 2, 6)), jnp.float64)
+
+    def stage(p, x):
+        x = x / jnp.sqrt(jnp.sum(x * x))  # NaN at x = 0
+        return jnp.tanh(x @ p)
+
+    def loss(p):
+        return jnp.sum(gpipe(stage, p, xs, mesh) ** 2)
+
+    out = gpipe(stage, sw, xs, mesh)
+    assert np.isfinite(np.asarray(out)).all()
+    grads = jax.grad(loss)(sw)
+    assert np.isfinite(np.asarray(grads)).all(), "fill/drain ticks poisoned grads"
+    # parity with the sequential reference on the same non-total stage
+    seq = xs
+    for i in range(4):
+        seq = jax.vmap(lambda x, i=i: stage(sw[i], x))(seq)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(seq), atol=1e-10)
