@@ -65,16 +65,28 @@ def read_csv_values(path: str) -> np.ndarray:
 
 
 def read_csv_matrix(path: str, rows: int, cols: int,
-                    dtype=np.float32) -> np.ndarray:
+                    dtype=np.float32, exact: bool = False) -> np.ndarray:
     """First rows*cols CSV values as a (rows, cols) matrix.
     ≈ ``load_matrix_from_csv`` (lib/util.c:57), which widens the float CSV
-    values into the compute dtype."""
+    values into the compute dtype and reads only what it needs (extra
+    file content ignored — reference semantics, the default here).
+
+    ``exact=True``: ALSO error when the file holds more values than the
+    expected shape. Checkpoint loaders with more than one possible config
+    use this — silently reinterpreting the prefix of a full-size weight
+    file as a smaller config's weights loads garbage (and a subsequent
+    save would destroy the larger checkpoint)."""
     values = read_csv_values(path)
     need = rows * cols
     if values.size < need:
         raise ValueError(
             f"{path}: expected at least {need} values, found {values.size}"
         )
+    if exact and values.size != need:
+        raise ValueError(
+            f"{path}: expected exactly {need} values ({rows}x{cols}), "
+            f"found {values.size} — the checkpoint was written by a "
+            f"different model configuration")
     return values[:need].reshape(rows, cols).astype(dtype)
 
 

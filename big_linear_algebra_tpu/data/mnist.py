@@ -36,6 +36,13 @@ class MnistCSVStream:
         while index < MNIST_LINE_LENGTH:
             c = self._file.read(1)
             if not c:
+                # EOF-terminated last value (no trailing comma/newline):
+                # data/csv.py's format contract accepts it, so a fully-read
+                # final example must not be discarded here either
+                if token and index == MNIST_LINE_LENGTH - 1:
+                    self.buffer[index] = float("".join(token))
+                    token.clear()
+                    return True
                 return False
             if c == "," or (c == "\n" and token):
                 self.buffer[index] = float("".join(token)) if token else 0.0

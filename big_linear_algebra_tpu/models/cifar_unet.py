@@ -302,9 +302,14 @@ def load_params_csv(cfg: Config = CONFIG,
     base = base or ckpt_dir()
     d1, d2, d3, d4 = cfg.embed_dims
     k = cfg.kernel_size
+    # exact=True: a CSV tree written by a different config (e.g. a full-
+    # size checkpoint read under --tiny) must hard-error, not silently
+    # load the file prefix as garbage weights that the exit save would
+    # then write back over the original tree
+    read_exact = functools.partial(read_csv_matrix, exact=True)
 
     def load_kernels(rel, f, c, kh, kw):
-        rows = read_csv_matrix(str(base / rel), f * c, kh * kw)
+        rows = read_exact(str(base / rel), f * c, kh * kw)
         return jnp.asarray(_rows_to_kernels(rows, f, c, kh, kw))
 
     def load_resnet(prefix, in_ch, out_ch):
@@ -312,25 +317,25 @@ def load_params_csv(cfg: Config = CONFIG,
             "conv_1": load_kernels(f"{prefix}/conv_1.csv", out_ch, in_ch, k, k),
             "conv_2": load_kernels(f"{prefix}/conv_2.csv", out_ch, out_ch, k, k),
             "conv_3": load_kernels(f"{prefix}/conv_3.csv", out_ch, in_ch, 1, 1),
-            "time_w": jnp.asarray(read_csv_matrix(
+            "time_w": jnp.asarray(read_exact(
                 str(base / prefix / "time_weight.csv"),
                 cfg.time_embed_dim, out_ch)),
-            "time_b": jnp.asarray(read_csv_matrix(
+            "time_b": jnp.asarray(read_exact(
                 str(base / prefix / "time_bias.csv"), 1, out_ch)[0]),
         }
 
     def load_attn(prefix, ch):
         kd = cfg.key_dim
         return {
-            "q": jnp.asarray(read_csv_matrix(
+            "q": jnp.asarray(read_exact(
                 str(base / prefix / "query.csv"), ch, kd)),
-            "k": jnp.asarray(read_csv_matrix(
+            "k": jnp.asarray(read_exact(
                 str(base / prefix / "key.csv"), ch, kd)),
-            "v": jnp.asarray(read_csv_matrix(
+            "v": jnp.asarray(read_exact(
                 str(base / prefix / "value.csv"), ch, kd)),
-            "w": jnp.asarray(read_csv_matrix(
+            "w": jnp.asarray(read_exact(
                 str(base / prefix / "weight.csv"), kd, ch)),
-            "b": jnp.asarray(read_csv_matrix(
+            "b": jnp.asarray(read_exact(
                 str(base / prefix / "bias.csv"), 1, ch)[0]),
         }
 
@@ -1208,6 +1213,13 @@ def train(num_epochs: int, *args, flags=None) -> None:
     cfg = _cfg_from_flags(flags)
     batch_paths = synth.ensure_cifar(str(common.data_dir()))
     data = Cifar10Batches(batch_paths)
+    if data.num_examples < cfg.batch_size:
+        # zero full batches: every epoch path would "complete" with no
+        # steps and log avg_loss=nan (np.mean of an empty list), poisoning
+        # --keep-best metric ordering — fail loudly instead
+        raise SystemExit(
+            f"batch size {cfg.batch_size} exceeds the dataset "
+            f"({data.num_examples} examples): no full batch to train on")
     state_dir = str(ckpt_dir() / "train_state")
     step0 = ckpt_pytree.latest_step(state_dir)
     if step0 is None and (ckpt_dir() / "output_conv.csv").is_file():
@@ -1226,7 +1238,8 @@ def train(num_epochs: int, *args, flags=None) -> None:
     # Async checkpoint manager: per-epoch saves overlap training, keep-last-k
     # retention (--keep=k, 0 = unbounded), optional best-k by loss
     # (--keep-best). SURVEY.md §5 failure-recovery row.
-    keep = int(flags.get("keep") or 3) or None
+    # --keep=0 = unbounded retention; bare/negative values hard-error
+    keep = common.int_flag(flags, "keep", default=3, minimum=0) or None
     manager = ckpt_pytree.TrainCheckpointer(
         state_dir, max_to_keep=keep,
         best_metric="loss" if "keep-best" in flags else None)
@@ -1301,8 +1314,11 @@ def train(num_epochs: int, *args, flags=None) -> None:
                   f"{n_micro} microbatches")
         else:
             print("--pp: fewer than 3 devices, running unsharded")
-    max_steps = int(flags.get("max-steps") or 0)  # 0 = whole epoch
-    scan_steps = int(flags.get("scan-steps") or 1)  # steps per dispatch
+    # absent = whole epoch; --max-steps must be >= 1 when given (a bare
+    # flag silently meaning "no limit" would invert the intent)
+    max_steps = common.int_flag(flags, "max-steps", default=0, minimum=1)
+    scan_steps = common.int_flag(flags, "scan-steps", default=1,
+                                 minimum=1)  # steps per dispatch
     # Default full-epoch mode: ship the dataset to HBM once and run each
     # epoch as a single device dispatch (host sends only a permutation).
     # epoch_step gathers one batch per scan step (no permuted dataset copy),
@@ -1432,7 +1448,9 @@ def run(num_predictions: int = 1, flags=None) -> None:
     # non-positive count would become a negative array shape
     n = 1 if num_predictions < 1 else num_predictions
     params = _params_for_run(cfg)
-    imgs = sample(params, root_key(int(flags.get("sample-seed") or 0), cfg),
+    seed = common.int_flag(flags, "sample-seed", default=0,
+                           minimum=-(2 ** 62))
+    imgs = sample(params, root_key(seed, cfg),
                   cfg, n)
     out_dir = ckpt_dir() / "samples"
     for i in range(n):

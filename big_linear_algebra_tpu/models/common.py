@@ -117,6 +117,26 @@ def positive_int_flag(flags, name: str) -> int:
     return value
 
 
+def int_flag(flags, name: str, default: int, minimum: int) -> int:
+    """Parse ``--name=N`` as an int ≥ ``minimum`` when present, else
+    ``default``. A bare ``--name`` or an out-of-range value is a hard
+    error — the same policy as positive_int_flag (a bare ``--max-steps``
+    silently meaning "whole epoch" is the opposite of the user's evident
+    intent)."""
+    if name not in flags:
+        return default
+    raw = flags.get(name, "")
+    try:
+        value = int(raw)
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"--{name} needs an integer value, e.g. --{name}={default or 1} "
+            f"(got {raw!r})") from None
+    if value < minimum:
+        raise ValueError(f"--{name} must be >= {minimum}, got {value}")
+    return value
+
+
 def presence_flag(flags, name: str) -> bool:
     """A flag that is either absent or bare (``--name``). A value
     (``--name=false``) is a hard error — silently enabling remat on

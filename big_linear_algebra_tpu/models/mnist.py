@@ -112,7 +112,9 @@ def train(iterations: int, learn_rate: str = None, should_output: str = "1",
     train_csv, _ = synth.ensure_mnist(str(common.data_dir()))
     if not (ckpt_dir() / "hidden_weights.csv").is_file():
         print("no checkpoint found; initializing")
-        init()
+        init(flags=flags)  # forward --he-init: silently dropping the
+        # user's explicit escape hatch here would run the saturating
+        # reference init they asked to avoid
     params = load_params()
     # Stage the streamed examples (file order, wrapping at EOF — the
     # reference's fgetc stream, lib/mnist_csv.c:6) and run all per-example

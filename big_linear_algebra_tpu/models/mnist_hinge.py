@@ -34,6 +34,7 @@ from big_linear_algebra_tpu.data.csv import read_csv_matrix, write_csv_matrix
 from big_linear_algebra_tpu.data.mnist import MnistDataset, visualize_digit
 from big_linear_algebra_tpu.data import synth
 from big_linear_algebra_tpu.models import common
+from big_linear_algebra_tpu.ops.precision import mxu_precision as _mxu_precision
 
 EPSILON = 0.05  # convergence threshold, model/mnist_hinge.c:168
 
@@ -76,9 +77,13 @@ def _chunk_body(y, x, lr, n_total, axis=None):
 
     def body(carry, _):
         w, done = carry
-        margins = y * (x @ w)
+        # explicit MXU precision: bare @ runs f32 at bf16 on TPU; margins
+        # within bf16 error of the 1.0 threshold would flip the violation
+        # set and the EPSILON convergence stop (see nn/losses.py)
+        prec = _mxu_precision(x.dtype)
+        margins = y * jnp.matmul(x, w, precision=prec)
         viol = (margins < 1.0).astype(x.dtype)
-        grads = -(x.T @ (viol * y))
+        grads = -jnp.matmul(x.T, viol * y, precision=prec)
         if axis is not None:
             grads = jax.lax.psum(grads, axis)
         norms = jnp.sqrt(jnp.sum(grads * grads, axis=0)) / n_total
@@ -191,9 +196,17 @@ def run(num: int = -1, log_update_every: int = 1, flags=None):
     _, test_csv = synth.ensure_mnist(str(common.data_dir()))
     w = load_weights()
     data = MnistDataset.from_csv(test_csv)
+    if num != -1 and num < 1:
+        # 0 would divide by zero below; negatives would slice a wrong
+        # prefix and print a negative "accuracy" (mnist_nn.run's guard)
+        raise SystemExit(f"run: num predictions must be -1 or >= 1, "
+                         f"got {num}")
     n = data.num_examples if (num == -1 or num > data.num_examples) else num
     x = data.x[:n] / 255.0
-    scores = np.asarray(jnp.asarray(x) @ w)     # (n, 10)
+    # explicit MXU precision: a bare @ truncates f32 to bf16 on TPU and
+    # can flip close argmaxes vs the f64 oracle (repo policy)
+    scores = np.asarray(jnp.matmul(jnp.asarray(x), w,
+                                   precision=_mxu_precision(w.dtype)))
     if "reference-scoring" in flags:
         scores = 1.0 - scores                    # the reference's 1 − wᵀx (:70)
     preds = scores.argmax(axis=1)

@@ -40,8 +40,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from big_linear_algebra_tpu.ckpt import csv_layouts
 from big_linear_algebra_tpu.ckpt.csv_layouts import layout_exists
-from big_linear_algebra_tpu.data.csv import read_csv_matrix, write_csv_matrix
 from big_linear_algebra_tpu.data.mnist import MnistDataset
 from big_linear_algebra_tpu.data import synth
 from big_linear_algebra_tpu.models import common
@@ -101,26 +101,24 @@ def init_params(key, cfg: Config = CONFIG) -> Dict[str, jax.Array]:
 
 
 def save_params_csv(params, base: Path | None = None) -> None:
-    """Write the reference CSV layout. Our (in, out) weights transpose to the
-    reference's (out, in) row-major files; biases are one CSV line."""
-    base = base or ckpt_dir()
+    """Write the reference CSV layout via the shared ckpt.csv_layouts
+    helpers (_LAYOUT is the single source of the file list). Our (in, out)
+    weights transpose to the reference's (out, in) row-major files; biases
+    are one CSV line."""
+    arrays = {}
     for i in (1, 2, 3):
-        write_csv_matrix(str(base / f"weights_{i}.csv"),
-                         np.asarray(params[f"w{i}"]).T)
-        write_csv_matrix(str(base / f"biases_{i}.csv"),
-                         np.asarray(params[f"b{i}"]).reshape(1, -1))
+        arrays[f"weights_{i}.csv"] = np.asarray(params[f"w{i}"]).T
+        arrays[f"biases_{i}.csv"] = np.asarray(params[f"b{i}"]).reshape(1, -1)
+    csv_layouts.save_matrices(str(base or ckpt_dir()), arrays)
 
 
 def load_params_csv(base: Path | None = None,
                     cfg: Config = CONFIG) -> Dict[str, jax.Array]:
-    base = base or ckpt_dir()
-    s = cfg.sizes
+    mats = csv_layouts.load_matrices(str(base or ckpt_dir()), _LAYOUT)
     params = {}
     for i in (1, 2, 3):
-        w = read_csv_matrix(str(base / f"weights_{i}.csv"), s[i], s[i - 1])
-        b = read_csv_matrix(str(base / f"biases_{i}.csv"), 1, s[i])
-        params[f"w{i}"] = jnp.asarray(w.T)
-        params[f"b{i}"] = jnp.asarray(b[0])
+        params[f"w{i}"] = jnp.asarray(mats[f"weights_{i}.csv"].T)
+        params[f"b{i}"] = jnp.asarray(mats[f"biases_{i}.csv"][0])
     return params
 
 

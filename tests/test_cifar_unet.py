@@ -446,3 +446,42 @@ def test_fit_images_upscale():
     np.testing.assert_array_equal(np.asarray(y)[:, :, 1::2, 1::2],
                                   np.asarray(x))
     assert cu._fit_images(y, cfg) is y  # already at size: no-op
+
+
+def test_load_params_csv_rejects_other_config_tree(env_data_dir):
+    """A CSV tree written by a different config must hard-error on load
+    (exact=True), not silently reinterpret file prefixes as weights that
+    the exit save would then write back over the original tree."""
+    import dataclasses
+
+    big = dataclasses.replace(cu.TINY, embed_dims=(12, 16, 16, 16))
+    cu.save_params_csv(cu.init_params(jax.random.key(0), big), big)
+    with pytest.raises(ValueError, match="different model configuration"):
+        cu.load_params_csv(cu.TINY)
+
+
+def test_strict_int_flags(env_data_dir):
+    """--max-steps/--scan-steps/--keep/--sample-seed follow the hard-error
+    flag policy: bare or out-of-range values never fall back silently."""
+    from big_linear_algebra_tpu.data import synth
+
+    synth.ensure_cifar(str(env_data_dir), n_batches=1, per_batch=8)
+    assert cu.main(["init", "--tiny"]) == 0
+    for argv in (["train", "1", "--tiny", "--max-steps"],
+                 ["train", "1", "--tiny", "--max-steps=0"],
+                 ["train", "1", "--tiny", "--scan-steps=0"],
+                 ["train", "1", "--tiny", "--keep=-2"],
+                 ["run", "1", "--tiny", "--sample-seed=x"]):
+        with pytest.raises(ValueError):
+            cu.main(argv)
+
+
+def test_batch_exceeding_dataset_is_loud(env_data_dir):
+    """Zero full batches would log avg_loss=nan and checkpoint a nan
+    metric; it must be a hard error instead."""
+    from big_linear_algebra_tpu.data import synth
+
+    synth.ensure_cifar(str(env_data_dir), n_batches=1, per_batch=8)
+    assert cu.main(["init", "--tiny"]) == 0
+    with pytest.raises(SystemExit, match="exceeds the dataset"):
+        cu.main(["train", "1", "--tiny", "--batch=100000"])

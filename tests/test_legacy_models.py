@@ -210,3 +210,51 @@ def test_cli_rejects_unknown_and_unsupported_flags(capsys):
     assert "not supported" in capsys.readouterr().out
     assert mnist_legacy.main(["train", "1", "0.1", "--dp"]) == 1
     assert "sequential" in capsys.readouterr().out
+
+
+def test_mnist_hinge_run_guards_bad_counts(env_data_dir):
+    """run 0 previously died with ZeroDivisionError after all the work;
+    negatives printed a negative 'accuracy' over a wrong slice."""
+    from big_linear_algebra_tpu.models import mnist_hinge
+
+    assert mnist_hinge.main(["init"]) == 0
+    with pytest.raises(SystemExit):
+        mnist_hinge.main(["run", "0"])
+    with pytest.raises(SystemExit):
+        mnist_hinge.main(["run", "-2"])
+
+
+def test_mnist_train_autoinit_forwards_he_flag(env_data_dir, monkeypatch):
+    """train --he-init on a fresh dir must apply the flag in the automatic
+    init (it was previously dropped: init() was called with flags=None)."""
+    from big_linear_algebra_tpu.models import mnist
+
+    seen = {}
+    real_init = mnist.init
+
+    def spy(flags=None):
+        seen["flags"] = flags
+        return real_init(flags=flags)
+
+    monkeypatch.setattr(mnist, "init", spy)
+    assert mnist.main(["train", "2", "0.01", "--he-init"]) == 0
+    assert seen["flags"] is not None and "he-init" in seen["flags"]
+
+
+def test_mnist_stream_eof_terminated_last_value(tmp_path):
+    """An MNIST CSV whose last line ends at EOF (no trailing comma or
+    newline) must still yield its final example — the csv format contract
+    accepts EOF-terminated values."""
+    from big_linear_algebra_tpu.data.mnist import MnistCSVStream
+
+    vals1 = ",".join(str(v) for v in range(785))
+    vals2 = ",".join(str(v + 1) for v in range(785))
+    p = tmp_path / "t.csv"
+    p.write_text(vals1 + ",\n" + vals2)  # second line EOF-terminated
+    stream = MnistCSVStream(str(p))
+    assert stream.get_next_data()
+    assert stream.buffer[0] == 0 and stream.buffer[784] == 784
+    assert stream.get_next_data(), "EOF-terminated final example dropped"
+    assert stream.buffer[0] == 1 and stream.buffer[784] == 785
+    assert not stream.get_next_data()
+    stream.close()
