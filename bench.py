@@ -23,7 +23,6 @@ training throughput (images/sec/chip).
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import sys
@@ -158,6 +157,7 @@ def _trace_events(run_once):
             ctx.__enter__()
         except Exception:
             return None, None  # profiler unavailable
+        exit_failed = False
         try:
             # run_once errors must PROPAGATE: a failed execution silently
             # reported as "profiler unavailable" hides real benchmark bugs
@@ -166,7 +166,11 @@ def _trace_events(run_once):
             try:
                 ctx.__exit__(None, None, None)
             except Exception:
-                return None, None
+                # no return here: a return inside finally would swallow an
+                # in-flight run_once exception — flag it and decide below
+                exit_failed = True
+        if exit_failed:
+            return None, None
         try:
             paths = glob.glob(f"{tmp}/**/*.trace.json.gz", recursive=True)
             if not paths:
@@ -409,7 +413,9 @@ def bench_mnist_nn(iters=2048):
         return jnp.sum(p["b3"])
 
     float(chain(params))  # warm
-    dt = _loop_time_from_trace(lambda: float(chain(params)))
+    # traced run != warm run (dedup): perturbed params, same executable
+    params2 = jax.tree.map(lambda p: (p * 1.0009).astype(p.dtype), params)
+    dt = _loop_time_from_trace(lambda: float(chain(params2)))
     if dt:
         return cfg.batch_size * iters / dt
 
@@ -456,8 +462,13 @@ def unet_chunk_ms(cfg=None, iters=64):
     out = fn(*args)
     jax.block_until_ready(out[2])  # warm/compile (persistently cached)
 
+    # traced run != warm run (upstream dedup skips identical repeats —
+    # CLAUDE.md): perturb the images, same graph, no recompile
+    params, opt, xs, keys = args
+    args2 = (params, opt, (xs * 1.0009).astype(xs.dtype), keys)
+
     def run_once():
-        o = fn(*args)
+        o = fn(*args2)
         jax.block_until_ready(o[2])
 
     dt = _loop_time_from_trace(run_once)

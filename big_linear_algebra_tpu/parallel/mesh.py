@@ -103,6 +103,14 @@ def make_hybrid_mesh(dcn_axes: Mapping[str, int],
     in one slice (single-slice TPU, CPU virtual devices) — dcn axes must
     then be size 1."""
     names = tuple(dcn_axes.keys()) + tuple(ici_axes.keys())
+    if len(set(names)) != len(names):
+        # the multi-slice path would raise from Mesh on duplicate names;
+        # the single-slice fallback's dict(zip(...)) would silently MERGE
+        # them into a mesh missing an axis — validate up front so both
+        # paths behave the same
+        dup = sorted(n for n in set(names) if names.count(n) > 1)
+        raise ValueError(f"axis names appear in both dcn_axes and "
+                         f"ici_axes: {dup}")
     shape = tuple(dcn_axes.values()) + tuple(ici_axes.values())
     devices = jax.devices()
     n_slices = len({getattr(d, "slice_index", 0) for d in devices})
