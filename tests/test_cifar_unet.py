@@ -485,3 +485,22 @@ def test_batch_exceeding_dataset_is_loud(env_data_dir):
     assert cu.main(["init", "--tiny"]) == 0
     with pytest.raises(SystemExit, match="exceeds the dataset"):
         cu.main(["train", "1", "--tiny", "--batch=100000"])
+
+
+def test_cli_scan_steps_and_host_loop(env_data_dir, capsys):
+    """Positive paths of the dispatch-mode flags: --scan-steps=2 (chunked
+    scan with ragged tail) and --host-loop (per-batch dispatch) both train
+    and log normally."""
+    from big_linear_algebra_tpu.data import synth
+
+    synth.ensure_cifar(str(env_data_dir), n_batches=1, per_batch=10)
+    assert cu.main(["init", "--tiny"]) == 0
+    capsys.readouterr()
+    # 10 examples / batch 2 = 5 steps: two chunks of 2 + 1 ragged step
+    assert cu.main(["train", "1", "--tiny", "--scan-steps=2"]) == 0
+    out = capsys.readouterr().out
+    assert "avg_loss" in out
+    assert cu.main(["train", "1", "--tiny", "--host-loop",
+                    "--max-steps=2"]) == 0
+    out = capsys.readouterr().out
+    assert "avg_loss" in out
