@@ -254,26 +254,35 @@ def bench_pallas_matmul_kernel(m=4096, iters=16):
     return bench_pallas_matmul_trace(m, iters)[0]
 
 
+def _flash_chain_runner(body, b=4, n=4096, d=128, iters=16,
+                        dtype=jnp.bfloat16):
+    """Shared flash-bench harness (VERDICT r3 #7 boilerplate paydown):
+    build iid-normal (q, k, v) + a carry, warm-compile the fori_loop chain
+    over ``body(q, k, v, carry) -> carry``, and return a thunk executing it
+    on perturbed q (the traced run must differ from the warm run — dedup,
+    CLAUDE.md)."""
+    rng = np.random.default_rng(0)
+    q, k, v, g = (jnp.asarray(rng.standard_normal((b, n, d)), dtype)
+                  for _ in range(4))
+
+    @jax.jit
+    def chain(q, k, v, g):
+        out = jax.lax.fori_loop(0, iters, lambda _, c: body(q, k, v, c), g)
+        return jnp.sum(out.astype(jnp.float32))
+
+    float(chain(q, k, v, g))  # warm
+    q2 = (q * 1.0009).astype(q.dtype)
+    return lambda: float(chain(q2, k, v, g))
+
+
 def bench_flash_attention_kernel(b=4, n=4096, d=128, iters=16,
                                  dtype=jnp.bfloat16):
     """Kernel-only flash-attention forward throughput (device trace)."""
     from big_linear_algebra_tpu.nn.attention import flash_attention
 
-    rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.standard_normal((b, n, d)), dtype)
-    k = jnp.asarray(rng.standard_normal((b, n, d)), dtype)
-    v = jnp.asarray(rng.standard_normal((b, n, d)), dtype)
-
-    @jax.jit
-    def chain(q, k, v):
-        def body(_, vv):
-            return flash_attention(q, k, vv)
-        return jnp.sum(jax.lax.fori_loop(0, iters, body, v).astype(
-            jnp.float32))
-
-    float(chain(q, k, v))  # warm
-    q2 = (q * 1.0009).astype(q.dtype)  # traced run != warm run (dedup)
-    dt = _kernel_time_from_trace(lambda: float(chain(q2, k, v)), iters)
+    run = _flash_chain_runner(lambda q, k, v, c: flash_attention(q, k, c),
+                              b, n, d, iters, dtype)
+    dt = _kernel_time_from_trace(run, iters)
     return 4 * b * n * n * d * iters / dt if dt else None
 
 
@@ -287,26 +296,14 @@ def bench_flash_attention_bwd_kernel(b=4, n=4096, d=128, iters=16,
     that path is measured end-to-end by bench_flash_vjp_chain."""
     from big_linear_algebra_tpu.nn.attention import flash_attention
 
-    rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.standard_normal((b, n, d)), dtype)
-    k = jnp.asarray(rng.standard_normal((b, n, d)), dtype)
-    v = jnp.asarray(rng.standard_normal((b, n, d)), dtype)
-    g = jnp.asarray(rng.standard_normal((b, n, d)), dtype)
+    def body(q, k, v, gg):
+        _, vjp = jax.vjp(
+            lambda a, b_, c: flash_attention(a, b_, c, 512, 1024, False),
+            q, k, gg.astype(v.dtype))
+        return vjp(gg)[2]
 
-    @jax.jit
-    def chain(q, k, v, g):
-        def body(_, gg):
-            _, vjp = jax.vjp(
-                lambda a, b_, c: flash_attention(a, b_, c, 512, 1024, False),
-                q, k, gg.astype(v.dtype))
-            _, _, dv = vjp(gg)
-            return dv
-        out = jax.lax.fori_loop(0, iters, body, g)
-        return jnp.sum(out.astype(jnp.float32))
-
-    float(chain(q, k, v, g))  # warm
-    q2 = (q * 1.0009).astype(q.dtype)  # traced run != warm run (dedup)
-    dt = _kernel_time_from_trace(lambda: float(chain(q2, k, v, g)), iters)
+    run = _flash_chain_runner(body, b, n, d, iters, dtype)
+    dt = _kernel_time_from_trace(run, iters)
     return 10 * b * n * n * d * iters / dt if dt else None
 
 
@@ -317,24 +314,12 @@ def bench_flash_vjp_chain(b=4, n=4096, d=128, iters=16, dtype=jnp.bfloat16):
     203 TF/s at n=4096 vs 181 with the fused backward (BASELINE.md)."""
     from big_linear_algebra_tpu.nn.attention import flash_attention
 
-    rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.standard_normal((b, n, d)), dtype)
-    k = jnp.asarray(rng.standard_normal((b, n, d)), dtype)
-    v = jnp.asarray(rng.standard_normal((b, n, d)), dtype)
-    g = jnp.asarray(rng.standard_normal((b, n, d)), dtype)
+    def body(q, k, v, gg):
+        _, vjp = jax.vjp(flash_attention, q, k, gg.astype(v.dtype))
+        return vjp(gg)[2]
 
-    @jax.jit
-    def chain(q, k, v, g):
-        def body(_, gg):
-            _, vjp = jax.vjp(flash_attention, q, k, gg.astype(v.dtype))
-            _, _, dv = vjp(gg)
-            return dv
-        out = jax.lax.fori_loop(0, iters, body, g)
-        return jnp.sum(out.astype(jnp.float32))
-
-    float(chain(q, k, v, g))  # warm
-    q2 = (q * 1.0009).astype(q.dtype)  # traced run != warm run (dedup)
-    dt = _loop_time_from_trace(lambda: float(chain(q2, k, v, g)))
+    run = _flash_chain_runner(body, b, n, d, iters, dtype)
+    dt = _loop_time_from_trace(run)
     return 14 * b * n * n * d * iters / dt if dt else None
 
 
@@ -435,6 +420,113 @@ def bench_mnist_nn(iters=2048):
     return cfg.batch_size / dt
 
 
+def bench_mnist_hinge(n=8192, iters=256):
+    """Full-batch hinge-ensemble training throughput: examples·iterations/s
+    (each iteration margins + re-grads the WHOLE batch as one GEMM pair —
+    the reference's full-batch loop, model/mnist_hinge.c:101-176), by trace
+    device-loop time of the production per-iteration body (_chunk_body)."""
+    from big_linear_algebra_tpu.models import mnist_hinge as mh
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((n, 784)), jnp.float32)
+    y = jnp.asarray(np.where(np.eye(10, dtype=np.float32)[
+        rng.integers(0, 10, n)] > 0, 1.0, -1.0), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((784, 10)) * 0.01, jnp.float32)
+
+    @jax.jit
+    def chain(w, x):
+        # lr small enough that the convergence stop never trips: every
+        # scanned iteration does the full-batch work being measured
+        (w2, _), _ = jax.lax.scan(mh._chunk_body(y, x, 1e-6, n),
+                                  (w, jnp.asarray(False)), None,
+                                  length=iters)
+        return jnp.sum(w2)
+
+    float(chain(w, x))  # warm
+    x2 = (x * 1.0009).astype(x.dtype)  # traced run != warm run (dedup)
+    dt = _loop_time_from_trace(lambda: float(chain(w, x2)))
+    return n * iters / dt if dt else None
+
+
+def bench_mnist_hinge_convergence(max_iters=20000):
+    """End-to-end ``train`` on the synthetic MNIST set at the reference
+    lr=0.0005 (model/mnist_hinge.c's CLI): (iterations-to-convergence,
+    wall seconds). Wall-clock is honest at this granularity — a multi-
+    second host-driven loop with a fresh convergence decision per chunk,
+    not a kernel timing (data synthesis is excluded; the compile is
+    persistently cached after the first run)."""
+    import contextlib
+    import io
+    import re
+    import tempfile
+
+    from big_linear_algebra_tpu.data import synth
+    from big_linear_algebra_tpu.models import mnist_hinge as mh
+
+    with tempfile.TemporaryDirectory() as td:
+        old = os.environ.get("BLA_DATA_DIR")
+        os.environ["BLA_DATA_DIR"] = td
+        try:
+            synth.ensure_mnist(td)  # outside the timed window
+            with contextlib.redirect_stdout(io.StringIO()):
+                mh.init()
+            buf = io.StringIO()
+            t0 = time.perf_counter()
+            with contextlib.redirect_stdout(buf):
+                mh.train(max_iters, "0.0005")
+            dt = time.perf_counter() - t0
+        finally:
+            if old is None:
+                os.environ.pop("BLA_DATA_DIR", None)
+            else:
+                os.environ["BLA_DATA_DIR"] = old
+    m = re.search(r"converged < epsilon after iteration (\d+)",
+                  buf.getvalue())
+    return (int(m.group(1)) if m else None, dt)
+
+
+def _layer_graph_steps_per_sec(shapes, acts, iters=4096):
+    """Per-example online-SGD steps/s of a ``layer_graph`` scan (the legacy
+    Layer-path models' training loop, lib/layer.c:48-102 scan-fused) by
+    trace device-loop time."""
+    from big_linear_algebra_tpu.nn import layer_graph
+
+    rng = np.random.default_rng(0)
+    params = [
+        (jnp.asarray(rng.standard_normal(sw) * 0.1, jnp.float32),
+         jnp.asarray(rng.standard_normal(sb) * 0.1, jnp.float32))
+        for sw, sb in shapes
+    ]
+    in_dim, out_dim = shapes[0][0][1], shapes[-1][0][0]
+    xs = jnp.asarray(rng.random((iters, in_dim)), jnp.float32)
+    ys = jnp.asarray(np.eye(out_dim, dtype=np.float32)[
+        rng.integers(0, out_dim, iters)])
+    run_scan = layer_graph.make_sgd_scan(acts)
+
+    jax.block_until_ready(run_scan(params, xs, ys, 0.01))  # warm
+    xs2 = (xs * 1.0009).astype(xs.dtype)  # traced run != warm run (dedup)
+    dt = _loop_time_from_trace(
+        lambda: jax.block_until_ready(run_scan(params, xs2, ys, 0.01)))
+    return iters / dt if dt else None
+
+
+def bench_mnist_legacy(iters=4096):
+    """legacy mnist (784→200→200→10, relu/relu/softmax_legacy) per-example
+    SGD steps/s — the model/mnist.c:132-216 streaming loop's device math."""
+    from big_linear_algebra_tpu.models import mnist as mnist_legacy
+
+    return _layer_graph_steps_per_sec(mnist_legacy.SHAPES,
+                                      mnist_legacy.ACTS, iters)
+
+
+def bench_my_first_model(iters=4096):
+    """my_first_model (2→3→2 ReLU) per-example SGD steps/s
+    (model/my_first_model.c:56-124's online loop, scan-fused)."""
+    from big_linear_algebra_tpu.models import my_first_model as mfm
+
+    return _layer_graph_steps_per_sec(mfm.SHAPES, mfm.ACTS, iters)
+
+
 def unet_chunk_setup(cfg=None, iters=64):
     """(jitted ``train_chunk``, (params, opt, xs, keys)) at ``cfg`` —
     the ONE measurement harness behind bench_unet_step and every
@@ -455,23 +547,23 @@ def unet_chunk_setup(cfg=None, iters=64):
     return fn, (params, opt, xs, keys)
 
 
+def unet_chunk_probe(fn, args):
+    """Warm/compile ``fn(*args)`` (persistently cached), then return a
+    thunk executing it on perturbed images. EVERY profiler trace of the
+    shared chunk harness must run through this: the traced run must
+    differ from the warm run or upstream dedup skips device execution
+    entirely (CLAUDE.md) and the trace carries no device while-loop."""
+    jax.block_until_ready(fn(*args)[2])
+    params, opt, xs, keys = args
+    args2 = (params, opt, (xs * 1.0009).astype(xs.dtype), keys)
+    return lambda: jax.block_until_ready(fn(*args2)[2])
+
+
 def unet_chunk_ms(cfg=None, iters=64):
     """ms/step of the U-Net train chunk at ``cfg`` by trace device-loop
     time; None when the profiler is unavailable."""
     fn, args = unet_chunk_setup(cfg, iters)
-    out = fn(*args)
-    jax.block_until_ready(out[2])  # warm/compile (persistently cached)
-
-    # traced run != warm run (upstream dedup skips identical repeats —
-    # CLAUDE.md): perturb the images, same graph, no recompile
-    params, opt, xs, keys = args
-    args2 = (params, opt, (xs * 1.0009).astype(xs.dtype), keys)
-
-    def run_once():
-        o = fn(*args2)
-        jax.block_until_ready(o[2])
-
-    dt = _loop_time_from_trace(run_once)
+    dt = _loop_time_from_trace(unet_chunk_probe(fn, args))
     return dt / iters * 1e3 if dt else None
 
 
@@ -525,6 +617,23 @@ def main():
             extras["flash_attention_fwdbwd_chain_gflops"] = round(
                 flash_chain / 1e9, 1)
         extras["mnist_nn_images_per_sec"] = round(bench_mnist_nn(), 1)
+        # the other three model programs (VERDICT r3 #4): perf now recorded
+        # for 5/5 reference model programs
+        hinge = bench_mnist_hinge()
+        if hinge:
+            extras["mnist_hinge_examples_per_sec"] = round(hinge, 1)
+        conv_iters, conv_s = bench_mnist_hinge_convergence()
+        if conv_iters is not None:
+            # seconds are only meaningful when the stop actually tripped —
+            # otherwise they time the max_iters cap, not convergence
+            extras["mnist_hinge_convergence_iters"] = conv_iters
+            extras["mnist_hinge_convergence_s"] = round(conv_s, 3)
+        legacy = bench_mnist_legacy()
+        if legacy:
+            extras["mnist_legacy_sgd_steps_per_sec"] = round(legacy, 1)
+        mfm = bench_my_first_model()
+        if mfm:
+            extras["my_first_model_sgd_steps_per_sec"] = round(mfm, 1)
         unet = bench_unet_step()
         if unet:
             unet_ms, unet_batch = unet

@@ -1040,8 +1040,15 @@ def _key_state(key) -> dict:
     explicit impl code — rbg and unsafe_rbg share a key_data width, so
     width alone cannot name the stream a checkpoint carries."""
     impl = str(jax.random.key_impl(key))
+    if impl not in _PRNG_CODES:
+        # checkpointing a mislabeled code would only surface much later, at
+        # resume inside wrap_key_data (or worse: silently resume the wrong
+        # stream family) — fail here, at the cause (ADVICE r3)
+        raise ValueError(
+            f"cannot checkpoint RNG keys of impl {impl!r}; known impls: "
+            f"{sorted(_PRNG_CODES)}")
     return {"key_data": jax.random.key_data(key),
-            "prng": np.asarray(_PRNG_CODES.get(impl, 1), np.int32)}
+            "prng": np.asarray(_PRNG_CODES[impl], np.int32)}
 
 
 def _restore_train_target(manager, state_dir: str, target: dict, step: int):
@@ -1094,12 +1101,18 @@ def _wrap_restored_key(key_data, cfg: Config, prng_code=None) -> jax.Array:
     run continues the original draws exactly (at the original impl's
     speed) rather than silently restarting the stream."""
     kd = jnp.asarray(key_data)
-    if prng_code is not None:
-        impl = _PRNG_NAMES[int(prng_code)]
-    elif kd.shape[-1] == 2:
-        impl = "threefry2x32"
-    else:
-        impl = cfg.prng if cfg.prng in ("rbg", "unsafe_rbg") else "rbg"
+    impl = _PRNG_NAMES.get(int(prng_code)) if prng_code is not None else None
+    if prng_code is not None and impl is None:
+        # corrupted / future-valued code: fall through to the width
+        # inference this function already implements instead of a bare
+        # KeyError far from the cause (ADVICE r3)
+        print(f"checkpoint carries unknown prng code {int(prng_code)}; "
+              f"inferring the impl from the key width instead")
+    if impl is None:
+        if kd.shape[-1] == 2:
+            impl = "threefry2x32"
+        else:
+            impl = cfg.prng if cfg.prng in ("rbg", "unsafe_rbg") else "rbg"
     if impl != cfg.prng:
         print(f"resuming the checkpoint's RNG stream with its original "
               f"impl {impl} (config requests {cfg.prng})")

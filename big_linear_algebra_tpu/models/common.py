@@ -61,13 +61,15 @@ class MetricsLogger:
 
 
 @contextlib.contextmanager
-def maybe_profile(enabled: bool, logdir: str = "/tmp/bla_profile"):
-    """jax.profiler trace context (Perfetto/XProf-compatible dump)."""
+def maybe_profile(enabled: bool, logdir: str = ""):
+    """jax.profiler trace context (Perfetto/XProf-compatible dump).
+    ``--profile`` uses the default dir; ``--profile=DIR`` overrides it."""
     if not enabled:
         yield
         return
     import jax
 
+    logdir = logdir or "/tmp/bla_profile"
     with jax.profiler.trace(logdir):
         yield
     print(f"profile written to {logdir}", flush=True)
@@ -189,13 +191,13 @@ def run_cli(prog: str,
         if verb.startswith("run"):
             n = int(pos[1]) if len(pos) > 1 else -1
             extra = [int(p) for p in pos[2:]]
-            with maybe_profile("profile" in flags):
+            with maybe_profile("profile" in flags, flags.get("profile", "")):
                 run_fn(n, *extra, flags=flags)
         elif verb.startswith("train"):
             if len(pos) < 2:
                 print(f"Please supply a number of epochs, usage:\n\t{train_usage}\n")
                 return 1
-            with maybe_profile("profile" in flags):
+            with maybe_profile("profile" in flags, flags.get("profile", "")):
                 train_fn(int(pos[1]), *pos[2:], flags=flags)
         elif verb.startswith("init"):
             init_fn(flags=flags)

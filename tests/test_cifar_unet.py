@@ -394,6 +394,18 @@ def test_wrap_restored_key_prng_code_disambiguates(capsys):
     assert st["key_data"].shape[-1] == 4
 
 
+def test_wrap_restored_key_unknown_code_falls_back(capsys):
+    """A corrupted / future-valued prng code must fall back to the width
+    inference (with a diagnostic), not raise a bare KeyError far from the
+    cause (ADVICE r3)."""
+    kd_tf = jax.random.key_data(jax.random.key(7, impl="threefry2x32"))
+    k = cu._wrap_restored_key(kd_tf, CFG, prng_code=99)
+    out = capsys.readouterr().out
+    assert "unknown prng code 99" in out
+    assert "fry" in str(k.dtype)  # width 2 -> threefry by inference
+    np.testing.assert_array_equal(jax.random.key_data(k), kd_tf)
+
+
 def test_cli_resume_across_unsafe_rbg(env_data_dir, capsys):
     """unsafe_rbg checkpoints resume as unsafe_rbg under the rbg default —
     the explicit prng field survives the save/restore round trip."""

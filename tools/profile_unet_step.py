@@ -25,14 +25,11 @@ def main(iters=64):
 
     cfg = cu.CONFIG
     fn, args = unet_chunk_setup(iters=iters)
-    out = fn(*args)
-    jax.block_until_ready(out[2])
+    # unet_chunk_probe perturbs the traced run's inputs — a byte-identical
+    # re-execution can be deduplicated upstream and trace nothing (ADVICE r3)
+    from bench import unet_chunk_probe
 
-    def run_once():
-        o = fn(*args)
-        jax.block_until_ready(o[2])
-
-    events, pids = _trace_events(run_once)
+    events, pids = _trace_events(unet_chunk_probe(fn, args))
     if events is None:
         print("profiler unavailable")
         return 1

@@ -87,14 +87,11 @@ def main(iters=64):
     bodies = fusion_bodies(hlo)
     print(f"{len(bodies)} fusion instructions in HLO")
 
-    out = fn(*args)
-    jax.block_until_ready(out[2])
+    # unet_chunk_probe perturbs the traced run's inputs — a byte-identical
+    # re-execution can be deduplicated upstream and trace nothing (ADVICE r3)
+    from bench import unet_chunk_probe
 
-    def run_once():
-        o = fn(*args)
-        jax.block_until_ready(o[2])
-
-    events, pids = _trace_events(run_once)
+    events, pids = _trace_events(unet_chunk_probe(fn, args))
     if events is None:
         print("profiler unavailable")
         return 1
