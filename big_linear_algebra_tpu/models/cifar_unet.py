@@ -92,6 +92,14 @@ class Config:
     # (3.214 vs 12.944 ms/step at batch 16, round-3 rbg harness); set
     # "float32" for the full-precision parity mode
     compute_dtype: str = "bfloat16"
+    # Stored-parameter dtype. "float32" (default): f32 master weights, cast
+    # to compute_dtype at every use — XLA re-reads the 2×-wide masters per
+    # consumer (measured 471 µs/step of pure copy at reference scale,
+    # round-3 copy audit). "bfloat16": the stored tree IS bf16 — the forward
+    # reads it directly with zero converts; full precision lives only in
+    # the optimizer (f32 Adam moments + f32 update math, bf16 round-trip on
+    # write — nn/optim.py). CLI: --bf16-params.
+    param_dtype: str = "float32"
     # Internal activation layout: "NCHW" keeps the reference's channels-first
     # maps end-to-end; "NHWC" transposes once at entry/exit and runs every
     # conv/GN/attention channels-last (C on the 128-lane axis — attention
@@ -115,6 +123,15 @@ class Config:
     # compilers option (the reference's srand(42)+rand() has no bit
     # parity with either — SURVEY.md §8.2 RNG-parity note).
     prng: str = "rbg"
+    # Dispatch the starved low resolutions (H·W ≤ 64: the 4²/8² blocks,
+    # where per-op XLA runs at ~80 TF/s vs the batch-packed kernel's 112+)
+    # to the fused whole-resnet-block Pallas kernel (nn/fused_block.py):
+    # GN→ReLU→conv→+temb→GN→ReLU→dropout→conv→+residual in ONE VMEM pass,
+    # with a fused recompute-in-backward. NOTE: the in-kernel dropout uses
+    # the TPU hardware PRNG seeded from the step key — a different (still
+    # deterministic-per-key) mask stream than the XLA path, same contract
+    # as switching --prng. CLI: --fused-block.
+    fused_block: bool = False
 
 
 CONFIG = Config()
@@ -228,7 +245,14 @@ def init_params(key, cfg: Config = CONFIG) -> Dict[str, Any]:
         "output_conv": he_uniform(nk(), (cfg.in_channels, d1, k, k),
                                   fan_in=k * k * d1),
     }
-    return p
+    return cast_params(p, cfg)
+
+
+def cast_params(params, cfg: Config):
+    """Round a parameter tree to ``cfg.param_dtype`` (no-op for the f32
+    default — every leaf above initializes f32)."""
+    pdt = jnp.dtype(cfg.param_dtype)
+    return jax.tree.map(lambda a: a.astype(pdt), params)
 
 
 # ---------------------------------------------------------------------------
@@ -249,6 +273,9 @@ def _rows_to_kernels(rows: np.ndarray, f, c, kh, kw) -> np.ndarray:
 
 def save_params_csv(params, cfg: Config = CONFIG, base: Path | None = None):
     base = base or ckpt_dir()
+    # CSV text is written from f32 values (bf16 → f32 upcast is exact; the
+    # %f text itself truncates at 6 decimals for both, reference parity)
+    params = jax.tree.map(lambda a: np.asarray(a, np.float32), params)
 
     def save_resnet(p, prefix):
         write_csv_matrix(str(base / prefix / "conv_1.csv"),
@@ -373,7 +400,7 @@ def load_params_csv(cfg: Config = CONFIG,
         "output_conv": load_kernels("output_conv.csv", cfg.in_channels,
                                     d1, k, k),
     }
-    return p
+    return cast_params(p, cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -448,12 +475,27 @@ def _resnet_block_body(x, temb, p, key, *, cfg: Config, train: bool,
     conv = conv2d_nhwc if nhwc else conv2d
     in_ch = x.shape[-1] if nhwc else x.shape[1]
     out_ch = p["conv_1"].shape[0]
-    h = _gn_relu(x, cfg, nhwc)
-    h = conv(h, p["conv_1"], 1)
     # (B, out) — explicit precision: f32 mode must not silently truncate to
     # bf16 on the MXU (same policy as ops/matmul.py / nn/conv.py)
     td = jnp.matmul(temb, p["time_w"],
                     precision=_mxu_precision(temb.dtype)) + p["time_b"]
+    if cfg.fused_block and not nhwc:
+        from big_linear_algebra_tpu.nn import fused_block as _fb
+
+        hw = x.shape[2] * x.shape[3]
+        if hw <= 64 and _fb.supported(
+                x.shape, in_ch, out_ch, p["conv_1"].shape[-1],
+                cfg.group_size, x.dtype):
+            # seed the in-kernel dropout PRNG from the step/block key's raw
+            # words — no RNG computation spent on deriving it
+            kd = jax.random.key_data(key).ravel()
+            seed = jax.lax.bitcast_convert_type(kd[0] ^ kd[-1], jnp.int32)
+            w3 = p["conv_3"] if in_ch != out_ch else None
+            return _fb.fused_resnet_block(
+                x, td, p["conv_1"], p["conv_2"], w3, seed,
+                cfg.group_size, cfg.dropout_rate, train)
+    h = _gn_relu(x, cfg, nhwc)
+    h = conv(h, p["conv_1"], 1)
     h = h + (td[:, None, None, :] if nhwc else td[:, :, None, None])
     h = _gn_relu(h, cfg, nhwc)
     h = dropout(h, cfg.dropout_rate, key, deterministic=not train)
@@ -579,13 +621,15 @@ def forward(params, x, t, cfg: Config = CONFIG, key=None,
     dt = jnp.dtype(cfg.compute_dtype)
     if x.dtype != dt:
         x = x.astype(dt)
-        params = jax.tree.map(lambda p: p.astype(dt), params)
-        # NOTE: forcing one materialized bf16 weight tree here (an
-        # optimization_barrier so consumers share a single f32->bf16
-        # convert instead of re-reading the 2x-wide f32 master per use)
-        # was measured SLOWER at reference scale — 3.365 ms/step kernels-
-        # only, 3.682 whole-tree, vs 3.214 letting XLA duplicate the
-        # converts (BASELINE.md round-3 copy-traffic note).
+    # Cast params to the compute dtype (a traced no-op when they already
+    # match — the bf16-resident param_dtype="bfloat16" mode, where the
+    # stored tree needs zero converts). For f32 masters under bf16
+    # compute, XLA duplicates this convert per consumer; forcing one
+    # materialized bf16 tree (optimization_barrier) was measured SLOWER
+    # at reference scale — 3.365 ms/step kernels-only, 3.682 whole-tree,
+    # vs 3.214 letting XLA duplicate (BASELINE.md round-3 copy-traffic
+    # note). The at-source fix is --bf16-params.
+    params = jax.tree.map(lambda p: p.astype(dt), params)
     keys = jax.random.split(key, 24)
     temb = time_embedding(t, cfg).astype(dt)
 
@@ -698,12 +742,26 @@ def loss_fn(params, x0, key, cfg: Config = CONFIG):
         x0.shape)
 
 
+def _sr_key(key, cfg: Config):
+    """Per-step stochastic-rounding key for bf16-resident params (None for
+    the f32 default — round-to-nearest bf16 writes put a measured loss
+    floor under training, 0.078 vs 0.058 at 16 synthetic epochs; see
+    nn/optim.stochastic_round_bf16). Folded with a fixed constant so the
+    SR stream decorrelates from the DDPM/dropout draws of the same step
+    key. Under DP this MUST be derived from the pre-fold (replicated) key,
+    or replicas would round differently and the replicated params drift."""
+    if jnp.dtype(cfg.param_dtype) != jnp.bfloat16:
+        return None
+    return jax.random.fold_in(key, 0x5feed)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",),
                    donate_argnums=(0, 1))
 def train_step(params, opt_state: AdamState, x0, key,
                cfg: Config = CONFIG):
     loss, grads = jax.value_and_grad(loss_fn)(params, x0, key, cfg)
-    params, opt_state = adam_update(params, grads, opt_state, cfg.learn_rate)
+    params, opt_state = adam_update(params, grads, opt_state, cfg.learn_rate,
+                                    sr_key=_sr_key(key, cfg))
     return params, opt_state, loss
 
 
@@ -719,7 +777,8 @@ def train_chunk(params, opt_state: AdamState, xs, keys,
         p, o = carry
         x0, k = inp
         loss, grads = jax.value_and_grad(loss_fn)(p, x0, k, cfg)
-        p, o = adam_update(p, grads, o, cfg.learn_rate)
+        p, o = adam_update(p, grads, o, cfg.learn_rate,
+                           sr_key=_sr_key(k, cfg))
         return (p, o), loss
 
     (params, opt_state), losses = jax.lax.scan(
@@ -749,7 +808,8 @@ def epoch_step(params, opt_state: AdamState, data, perm, key,
         k, ks = jax.random.split(k)
         x0 = data[batch_idx]
         loss, grads = jax.value_and_grad(loss_fn)(p, x0, ks, cfg)
-        p, o = adam_update(p, grads, o, cfg.learn_rate)
+        p, o = adam_update(p, grads, o, cfg.learn_rate,
+                           sr_key=_sr_key(ks, cfg))
         return (p, o, k), loss
 
     (params, opt_state, _), losses = jax.lax.scan(
@@ -767,12 +827,16 @@ def epoch_step(params, opt_state: AdamState, data, perm, key,
 def _local_grad_step(params, opt_state, x0, key, cfg, axis):
     """Per-shard body shared by the DP step/epoch: per-shard DDPM noise draw
     (key folded by mesh position), local grads, pmean all-reduce (loss_fn is
-    a local mean), replicated Adam update."""
+    a local mean), replicated Adam update. The stochastic-rounding key comes
+    from the PRE-fold key — every shard must round the replicated params
+    identically or the replicas drift apart."""
+    sr = _sr_key(key, cfg)
     key = jax.random.fold_in(key, jax.lax.axis_index(axis))
     loss, grads = jax.value_and_grad(loss_fn)(params, x0, key, cfg)
     grads = spmd.pmean_tree(grads, axis)
     loss = jax.lax.pmean(loss, axis)
-    params, opt_state = adam_update(params, grads, opt_state, cfg.learn_rate)
+    params, opt_state = adam_update(params, grads, opt_state, cfg.learn_rate,
+                                    sr_key=sr)
     return params, opt_state, loss
 
 
@@ -897,7 +961,8 @@ def _ddpm_draws(x0, key, cfg: Config):
 
 
 def make_train_step_pp(mesh, cfg: Config = CONFIG, axis: str = "stage",
-                       n_micro: int = 4):
+                       n_micro: int = 4, data_axis: str | None = None,
+                       schedule: str = "gpipe"):
     """Pipeline-parallel train step (SURVEY.md §2.4 PP row; the reference's
     sequential forward+backward+update loop, model/cifar_unet.c:1099-1165,
     1874-1934, stage-split over the ``axis`` mesh dimension).
@@ -911,10 +976,32 @@ def make_train_step_pp(mesh, cfg: Config = CONFIG, axis: str = "stage",
     once per global batch. The DDPM draws reuse ``loss_fn``'s exact
     key-split chain; dropout uses gpipe_hetero's per-(stage, microbatch)
     ``fold_in(kd, s·n_micro + m)`` keys — reproducible by a sequential run
-    of the same chain (parity-tested in f64, tests/test_pipeline.py)."""
-    from big_linear_algebra_tpu.parallel.pipeline import gpipe_hetero
+    of the same chain (parity-tested in f64, tests/test_pipeline.py).
+
+    ``data_axis`` (PP×DP, VERDICT r3 #3): on a 2-D ``stage×data`` mesh the
+    ``n_micro`` global microbatches are sharded over the data axis — each
+    data coordinate pipelines its share through its own stage ring, and the
+    shard_map transpose all-reduces the param grads over the data axis
+    (params are data-replicated). Same math as the 1-D pipeline at the
+    same global batch (global-microbatch dropout folds).
+
+    ``schedule``: "gpipe" (all-forward-then-all-backward by autodiff of the
+    tick loop) or "1f1b" (hand-scheduled one-forward-one-backward,
+    ``gpipe_hetero_1f1b`` — same math, analytic MSE loss seed at the last
+    stage, lower peak liveness and fewer slot traversals; VERDICT r3 #6)."""
+    from big_linear_algebra_tpu.parallel.pipeline import (gpipe_hetero,
+                                                          gpipe_hetero_1f1b)
 
     fns = unet_pipeline_stages(cfg, train=True)
+    if data_axis is not None and n_micro % mesh.shape[data_axis]:
+        raise ValueError(
+            f"n_micro={n_micro} not divisible by data axis "
+            f"{data_axis!r} of size {mesh.shape[data_axis]}")
+    if schedule not in ("gpipe", "1f1b"):
+        raise ValueError(f"schedule must be gpipe or 1f1b, got {schedule!r}")
+    if schedule == "1f1b" and data_axis is not None:
+        raise ValueError("schedule='1f1b' does not compose with data_axis "
+                         "yet; use the gpipe schedule for PPxDP")
 
     def step(params, opt_state: AdamState, x0, key):
         b = x0.shape[0]
@@ -925,17 +1012,40 @@ def make_train_step_pp(mesh, cfg: Config = CONFIG, axis: str = "stage",
         mb = b // n_micro
         xs = xt.reshape(n_micro, mb, *x0.shape[1:])
         ts = t.reshape(n_micro, mb).astype(x0.dtype)
+        acc_dt = jnp.promote_types(jnp.float32, x0.dtype)
+        n_total = np.prod(x0.shape)
 
-        def loss_of(p):
-            sp = split_params_stages(p)
-            pred = gpipe_hetero(fns, sp, (xs, ts), mesh, axis, key=kd)
-            # same master-loss dtype + normalization as loss_fn
-            acc_dt = jnp.promote_types(jnp.float32, x0.dtype)
-            pred = pred.reshape(b, *x0.shape[1:]).astype(acc_dt)
-            return mse_loss(pred, noise.astype(acc_dt)) / np.prod(x0.shape)
+        if schedule == "1f1b":
+            noise_m = noise.reshape(n_micro, mb, *x0.shape[1:])
+            tw = int(np.prod((mb,) + x0.shape[1:]))
 
-        loss, grads = jax.value_and_grad(loss_of)(params)
-        params2, opt2 = adam_update(params, grads, opt_state, cfg.learn_rate)
+            def seed_fn(pred_flat, tg_flat):
+                # the analytic dL/dpred for one microbatch: mse_loss's
+                # 2(pred − target) seed over the GLOBAL-batch normalizer,
+                # same master dtype as loss_fn
+                d = (pred_flat[:tw].astype(acc_dt)
+                     - tg_flat[:tw].astype(acc_dt))
+                return jnp.sum(d * d) / n_total, 2.0 * d / n_total
+
+            loss, stage_grads = gpipe_hetero_1f1b(
+                fns, split_params_stages(params), (xs, ts), noise_m,
+                seed_fn, mesh, axis, key=kd)
+            grads = {}
+            for g_tree in stage_grads:  # disjoint stage subtrees
+                grads.update(g_tree)
+            loss = loss.astype(acc_dt)
+        else:
+            def loss_of(p):
+                sp = split_params_stages(p)
+                pred = gpipe_hetero(fns, sp, (xs, ts), mesh, axis, key=kd,
+                                    data_axis=data_axis)
+                # same master-loss dtype + normalization as loss_fn
+                pred = pred.reshape(b, *x0.shape[1:]).astype(acc_dt)
+                return mse_loss(pred, noise.astype(acc_dt)) / n_total
+
+            loss, grads = jax.value_and_grad(loss_of)(params)
+        params2, opt2 = adam_update(params, grads, opt_state, cfg.learn_rate,
+                                    sr_key=_sr_key(key, cfg))
         return params2, opt2, loss
 
     return jax.jit(step, donate_argnums=(0, 1))
@@ -1195,6 +1305,10 @@ def _cfg_from_flags(flags) -> Config:
                 f"--prng must be one of threefry, rbg, unsafe_rbg; "
                 f"got {flags['prng']!r}")
         cfg = dataclasses.replace(cfg, prng=impl)
+    if common.presence_flag(flags, "bf16-params"):
+        cfg = dataclasses.replace(cfg, param_dtype="bfloat16")
+    if common.presence_flag(flags, "fused-block"):
+        cfg = dataclasses.replace(cfg, fused_block=True)
     return cfg
 
 
@@ -1262,6 +1376,17 @@ def train(num_epochs: int, *args, flags=None) -> None:
     if step0 is not None:
         restored = _restore_train_target(manager, state_dir, target, step0)
         params, opt_state = restored["params"], AdamState(*restored["opt"])
+        # dtype-align to this run's schema: a checkpoint written under the
+        # other param_dtype (f32 ↔ bf16-resident, --bf16-params) resumes
+        # into the requested one — orbax casts to the target, but the
+        # no-orbax fallback returns saved dtypes verbatim, so make the
+        # contract explicit here rather than rely on restorer behavior
+        params = jax.tree.map(
+            lambda a, t: jnp.asarray(a, t.dtype), params, target["params"])
+        opt_state = AdamState(opt_state.step, *jax.tree.map(
+            lambda a, t: jnp.asarray(a, t.dtype),
+            (opt_state.m, opt_state.v),
+            (target["opt"].m, target["opt"].v)))
         if "key_data" in restored:
             # resume the RNG stream where it left off — replaying the first
             # run's permutations/noise draws would correlate the updates
@@ -1275,7 +1400,7 @@ def train(num_epochs: int, *args, flags=None) -> None:
     logger = common.MetricsLogger(flags.get("jsonl") or None)
     rng = np.random.default_rng([cfg.seed, epoch0])
     dp_mesh = None
-    if "dp" in flags:
+    if "dp" in flags and "pp" not in flags:
         from big_linear_algebra_tpu.parallel import default_mesh
 
         mesh = default_mesh()
@@ -1309,9 +1434,10 @@ def train(num_epochs: int, *args, flags=None) -> None:
     if "pp" in flags:
         # Pipeline parallel: down/mid/up stages on a 3-device stage axis,
         # microbatched gpipe_hetero train step (make_train_step_pp).
-        if dp_mesh is not None or "tp" in flags:
-            raise SystemExit("--pp cannot be combined with --dp/--tp on "
-                             "this CLI (one parallelism mode per run)")
+        # --pp --dp composes a 2-D stage×data mesh (VERDICT r3 #3).
+        if "tp" in flags:
+            raise SystemExit("--pp cannot be combined with --tp on this "
+                             "CLI (use --pp --dp for the 2-D composition)")
         from big_linear_algebra_tpu.parallel import make_mesh
 
         n_micro = (common.positive_int_flag(flags, "pp-micro")
@@ -1320,12 +1446,38 @@ def train(num_epochs: int, *args, flags=None) -> None:
             raise SystemExit(
                 f"--pp: batch size {cfg.batch_size} is not divisible by "
                 f"--pp-micro={n_micro} microbatches")
-        if len(jax.local_devices()) >= 3:
+        schedule = str(flags.get("pp-schedule") or "gpipe")
+        if schedule not in ("gpipe", "1f1b"):
+            raise SystemExit(
+                f"--pp-schedule must be gpipe or 1f1b, got {schedule!r}")
+        if schedule == "1f1b" and "dp" in flags:
+            raise SystemExit("--pp-schedule=1f1b does not compose with "
+                             "--dp yet; drop one of them")
+        n_local = len(jax.local_devices())
+        if "dp" in flags and n_local >= 6:
+            # PP×DP: stage axis 3 (down/mid/up), the rest data-parallel
+            n_data = n_local // 3
+            if n_micro % n_data:
+                raise SystemExit(
+                    f"--pp --dp: --pp-micro={n_micro} microbatches are not "
+                    f"divisible by the {n_data} data shards (3 stages × "
+                    f"{n_data} data on {n_local} devices)")
+            pp_mesh = make_mesh({"stage": 3, "data": n_data},
+                                devices=jax.devices()[:3 * n_data])
+            pp_step = make_train_step_pp(pp_mesh, cfg, n_micro=n_micro,
+                                         data_axis="data")
+            print(f"--pp --dp: 3-stage pipeline × {n_data} data shards, "
+                  f"{n_micro} global microbatches")
+        elif "dp" in flags:
+            print(f"--pp --dp needs >= 6 devices (3 stages × >=2 data "
+                  f"shards), have {n_local}; running pure --pp")
+        if pp_step is None and n_local >= 3:
             pp_mesh = make_mesh({"stage": 3}, devices=jax.devices()[:3])
-            pp_step = make_train_step_pp(pp_mesh, cfg, n_micro=n_micro)
+            pp_step = make_train_step_pp(pp_mesh, cfg, n_micro=n_micro,
+                                         schedule=schedule)
             print(f"--pp: 3-stage pipeline (down/mid/up), "
-                  f"{n_micro} microbatches")
-        else:
+                  f"{n_micro} microbatches, {schedule} schedule")
+        elif pp_step is None:
             print("--pp: fewer than 3 devices, running unsharded")
     # absent = whole epoch; --max-steps must be >= 1 when given (a bare
     # flag silently meaning "no limit" would invert the intent)
@@ -1483,7 +1635,8 @@ def main(argv=None) -> int:
         extra_flags=("dp", "tp", "pp", "pp-micro", "tiny", "max-steps",
                      "scan-steps", "host-loop", "sample-seed", "keep",
                      "keep-best", "batch", "layout", "remat", "prng",
-                     "image-size"),
+                     "image-size", "bf16-params", "fused-block",
+                     "pp-schedule"),
     )
 
 

@@ -135,20 +135,33 @@ def _pack_to(tree, width, dtype):
     return jnp.pad(flat.astype(dtype), (0, width - flat.size))
 
 
-def _local_hetero(params_flat, xs_flat, key, *, axis, branches, n_micro):
+def _local_hetero(params_flat, xs_flat, key, *, axis, branches, n_micro,
+                  n_micro_global=None, data_axis=None):
     """Per-device body of the heterogeneous pipeline (inside shard_map).
 
     params_flat: (1, P) this stage's padded flat params; xs_flat: (n_micro, W)
-    packed stage-0 inputs, replicated; ``key``: replicated base PRNG key or
-    None (inference). Same microbatch ring as ``_local_pipeline`` but
+    packed stage-0 inputs — this device's data shard's microbatches (the
+    whole stack when ``data_axis`` is None); ``key``: replicated base PRNG
+    key or None (inference). Same microbatch ring as ``_local_pipeline`` but
     activations travel as padded flat buffers and ``lax.switch`` on the
     device's stage index runs that stage's unpack → compute → repack branch
-    (only one branch executes per tick)."""
+    (only one branch executes per tick).
+
+    With ``data_axis`` set (PP×DP, VERDICT r3 #3) each data-coordinate runs
+    an independent stage ring over its own ``n_micro`` local microbatches;
+    dropout keys fold the GLOBAL microbatch index
+    (``axis_index(data_axis)·n_micro + m``) against ``n_micro_global`` so
+    the fold chain is identical to the sequential / pure-PP run over the
+    same global microbatch stack."""
     pflat = params_flat[0]
     stage = jax.lax.axis_index(axis)
     n_stages = jax.lax.axis_size(axis)
     n_ticks = n_micro + n_stages - 1
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+    if n_micro_global is None:
+        n_micro_global = n_micro
+    micro_base = (jax.lax.axis_index(data_axis) * n_micro
+                  if data_axis is not None else 0)
 
     def tick(t, carry):
         buf, outs = carry
@@ -169,10 +182,10 @@ def _local_hetero(params_flat, xs_flat, key, *, axis, branches, n_micro):
                 jnp.zeros_like,
                 inp)
         else:
-            # per-(stage, microbatch) key: on tick t this device runs
-            # microbatch t − stage
-            micro = jnp.clip(m, 0, n_micro - 1)
-            k_t = jax.random.fold_in(key, stage * n_micro + micro)
+            # per-(stage, global microbatch) key: on tick t this device
+            # runs local microbatch t − stage
+            micro = micro_base + jnp.clip(m, 0, n_micro - 1)
+            k_t = jax.random.fold_in(key, stage * n_micro_global + micro)
             out = jax.lax.cond(
                 valid,
                 lambda x: jax.lax.switch(stage, branches, x, pflat, k_t),
@@ -269,6 +282,13 @@ def hetero_stats(stage_fns: Sequence[Callable], stage_params: Sequence,
         "useful_boundary_bytes": sum(widths[1:-1]) * n_micro * itemsize,
         "fill_drain_ticks": n_stages - 1,
         "utilization": n_micro / n_ticks,
+        # 1F1B schedule (gpipe_hetero_1f1b): one fwd + one bwd unit per
+        # slot, n_micro + 2(S−1) slots total; each stage does useful work
+        # in n_micro of them. The GPipe-autodiff comparator traverses
+        # 2·n_ticks tick states (fwd + transposed bwd) with per-tick
+        # residual stacking on top.
+        "n_slots_1f1b": n_micro + 2 * (n_stages - 1),
+        "utilization_1f1b": n_micro / (n_micro + 2 * (n_stages - 1)),
         "param_widths": [w for w, _, _ in p_packs],
         "param_padded_width": p_width,
         "param_dtype": str(jnp.dtype(p_dtype)),
@@ -276,7 +296,8 @@ def hetero_stats(stage_fns: Sequence[Callable], stage_params: Sequence,
 
 
 def gpipe_hetero(stage_fns: Sequence[Callable], stage_params: Sequence,
-                 xs, mesh: Mesh, axis: str = "stage", key=None):
+                 xs, mesh: Mesh, axis: str = "stage", key=None,
+                 data_axis: str | None = None):
     """GPipe over stages with **arbitrary differing** activation/param shapes
     (e.g. the U-Net's down/mid/up stages, model/cifar_unet.c:1099-1165).
 
@@ -298,7 +319,18 @@ def gpipe_hetero(stage_fns: Sequence[Callable], stage_params: Sequence,
     one SPMD program; gradients flow through ``ppermute``/``switch`` by
     autodiff exactly as in ``gpipe``. Returns the stacked final boundary
     (leading dim ``n_micro``). Cost per tick = widest stage + padding
-    bandwidth."""
+    bandwidth.
+
+    ``data_axis`` (PP×DP, VERDICT r3 #3): on a 2-D ``stage×data`` mesh the
+    global microbatch stack is sharded over ``data_axis`` — each data
+    coordinate pipelines its own ``n_micro / n_data`` microbatches through
+    an independent stage ring (``ppermute``/``psum`` over ``axis`` act
+    within the data subgroup). Params are stage-sharded and data-replicated,
+    so under ``jax.grad`` the shard_map transpose inserts the DP gradient
+    all-reduce over ``data_axis`` automatically — no explicit pmean. The
+    per-(stage, microbatch) dropout fold uses GLOBAL microbatch indices, so
+    results are reproducible by the sequential fold chain regardless of the
+    data split."""
     from big_linear_algebra_tpu.parallel.spmd import shard_map_fn
 
     n_stages = len(stage_fns)
@@ -311,6 +343,14 @@ def gpipe_hetero(stage_fns: Sequence[Callable], stage_params: Sequence,
 
     n_micro, b_packs, width, dtype, p_packs, p_width, p_dtype = _hetero_plan(
         stage_fns, stage_params, xs, key)
+
+    n_data = 1
+    if data_axis is not None:
+        n_data = mesh.shape[data_axis]
+        if n_micro % n_data:
+            raise ValueError(
+                f"{n_micro} microbatches not divisible by data axis "
+                f"{data_axis!r} of size {n_data}")
 
     def make_branch(i):
         w_in, dt_in, unravel_in = b_packs[i]
@@ -334,12 +374,15 @@ def gpipe_hetero(stage_fns: Sequence[Callable], stage_params: Sequence,
     )(jnp.arange(n_micro))  # (n_micro, W)
 
     body = functools.partial(_local_hetero, axis=axis, branches=branches,
-                             n_micro=n_micro)
+                             n_micro=n_micro // n_data,
+                             n_micro_global=n_micro, data_axis=data_axis)
     if key is None:
         body = functools.partial(body, key=None)
+    xs_spec = P(data_axis, None) if data_axis is not None else P()
     fn = shard_map_fn(
         body, mesh,
-        (P(axis, None), P()) + ((P(),) if key is not None else ()), P())
+        (P(axis, None), xs_spec) + ((P(),) if key is not None else ()),
+        xs_spec)
     params_flat = jax.device_put(
         params_flat, NamedSharding(mesh, P(axis, None)))
     outs_flat = (fn(params_flat, xs_flat) if key is None
@@ -348,3 +391,182 @@ def gpipe_hetero(stage_fns: Sequence[Callable], stage_params: Sequence,
     w_out, dt_out, unravel_out = b_packs[-1]
     return jax.vmap(
         lambda f: unravel_out(f[:w_out].astype(dt_out)))(outs_flat)
+
+
+# ---------------------------------------------------------------------------
+# 1F1B (one-forward-one-backward) schedule — VERDICT r3 #6
+# ---------------------------------------------------------------------------
+
+
+def gpipe_hetero_1f1b(stage_fns: Sequence[Callable], stage_params: Sequence,
+                      xs, targets, seed_fn: Callable, mesh: Mesh,
+                      axis: str = "stage", key=None):
+    """Heterogeneous pipeline TRAINING pass on a 1F1B schedule.
+
+    ``gpipe_hetero`` + ``jax.grad`` runs all-forward-then-all-backward: the
+    autodiff of the tick ``fori_loop`` stacks EVERY tick's ring state as
+    residuals (n_ticks × padded-width HBM round trips) and the whole
+    microbatch stack stays live across the loss. This variant hand-schedules
+    one-forward-one-backward: each slot every stage runs one forward unit
+    AND one backward unit (``jax.vjp`` created and consumed inside the same
+    slot — backward recomputes its stage from the saved input boundary), so
+
+    - peak liveness per stage is its ≤ 2(S−1−s)+1 in-flight input
+      boundaries (a static ring buffer), NOT the n_micro microbatch stack
+      plus per-tick autodiff residuals;
+    - the bubble is the 1F1B fill/drain: ``n_micro + 2(S−1)`` slots total
+      vs GPipe-autodiff's ``2(n_micro + S − 1)`` tick traversals.
+
+    The loss seed is analytic: ``seed_fn(pred_flat, target_flat) ->
+    (loss_scalar, g_flat)`` runs at the last stage's forward slot (for MSE
+    this is the reference's ``2(pred−target)`` seed, model/cifar_unet.c:1858).
+    Microbatch ``m``'s forward at stage ``s`` runs at slot ``s + m``; its
+    backward at slot ``m + 2(S−1) − s`` — the last stage backs up each
+    microbatch in the same slot it forwards it. Training-mode ``key`` uses
+    the SAME ``fold_in(key, s·n_micro + m)`` chain as ``gpipe_hetero``
+    (sequential-reproducible; the backward recompute re-folds identically).
+
+    Returns ``(loss_sum, stage_grads)``: the summed per-microbatch losses
+    and a list of per-stage parameter-gradient pytrees."""
+    from big_linear_algebra_tpu.parallel.spmd import shard_map_fn
+
+    n_stages = len(stage_fns)
+    if mesh.shape[axis] != n_stages:
+        raise ValueError(f"mesh axis {axis!r} has size {mesh.shape[axis]}, "
+                         f"need {n_stages} (one device per stage)")
+    n_micro, b_packs, width, dtype, p_packs, p_width, p_dtype = _hetero_plan(
+        stage_fns, stage_params, xs, key)
+    t_packs = [_flat_packer(jax.eval_shape(
+        lambda t: jax.tree.map(lambda a: a[0], t), targets))]
+    tw = t_packs[0][0]
+
+    def make_fwd_branch(i):
+        w_in, dt_in, unravel_in = b_packs[i]
+        pw, pdt, unravel_p = p_packs[i]
+        fn = stage_fns[i]
+
+        def branch(flat_in, flat_p, *k):
+            x = unravel_in(flat_in[:w_in].astype(dt_in))
+            p = unravel_p(flat_p[:pw].astype(pdt))
+            return _pack_to(fn(p, x, *k), width, dtype)
+
+        return branch
+
+    fwd_branches = [make_fwd_branch(i) for i in range(n_stages)]
+
+    def make_bwd_branch(i):
+        fwd = fwd_branches[i]
+
+        def branch(flat_in, flat_p, g, *k):
+            # vjp created AND consumed inside this slot's branch: the
+            # backward recomputes stage i from the saved input boundary
+            _, vjp = jax.vjp(lambda x, p: fwd(x, p, *k), flat_in, flat_p)
+            dx, dp = vjp(g.astype(dtype))
+            return dx, dp.astype(jnp.promote_types(p_dtype, jnp.float32))
+
+        return branch
+
+    bwd_branches = [make_bwd_branch(i) for i in range(n_stages)]
+
+    params_flat = jnp.stack(
+        [_pack_to(p, p_width, p_dtype) for p in stage_params])  # (S, P)
+    xs_flat = jax.vmap(
+        lambda t: _pack_to(jax.tree.map(lambda a: a[t], xs), width, dtype)
+    )(jnp.arange(n_micro))
+    tg_flat = jax.vmap(
+        lambda t: _pack_to(jax.tree.map(lambda a: a[t], targets), tw,
+                           t_packs[0][1])
+    )(jnp.arange(n_micro))
+
+    S, M = n_stages, n_micro
+    ring = 2 * S - 1  # longest fwd→bwd in-flight window + 1
+    n_slots = M + 2 * (S - 1)
+    acc_dt = jnp.promote_types(p_dtype, jnp.float32)
+
+    def local(params_flat, xs_flat, tg_flat, *key_arg):
+        pflat = params_flat[0]
+        stage = jax.lax.axis_index(axis)
+        perm_f = [(i, (i + 1) % S) for i in range(S)]
+        perm_b = [((i + 1) % S, i) for i in range(S)]
+
+        def run_fwd(inp, m, valid):
+            args = (inp, pflat)
+            if key_arg:
+                k = jax.random.fold_in(
+                    key_arg[0], stage * M + jnp.clip(m, 0, M - 1))
+                args = args + (k,)
+            return jax.lax.cond(
+                valid,
+                lambda *a: jax.lax.switch(stage, fwd_branches, *a),
+                lambda *a: jnp.zeros((width,), dtype), *args)
+
+        def run_bwd(x_saved, g, m, valid):
+            args = (x_saved, pflat, g)
+            if key_arg:
+                k = jax.random.fold_in(
+                    key_arg[0], stage * M + jnp.clip(m, 0, M - 1))
+                args = args + (k,)
+            return jax.lax.cond(
+                valid,
+                lambda *a: jax.lax.switch(stage, bwd_branches, *a),
+                lambda *a: (jnp.zeros((width,), dtype),
+                            jnp.zeros((p_width,), acc_dt)), *args)
+
+        fbuf = jnp.zeros((width,), dtype)
+        bbuf = jnp.zeros((width,), dtype)
+        save = jnp.zeros((ring, width), dtype)
+        dp_acc = jnp.zeros((p_width,), acc_dt)
+        # ≥f32, and f64 in the f64 parity mode — truncating the loss sum
+        # would break the sequential-parity comparison
+        loss_dt = jnp.promote_types(jnp.float32, dtype)
+        loss = jnp.zeros((), loss_dt)
+
+        for t in range(n_slots):  # static unroll: no fori_loop autodiff
+            recv_f = jax.lax.ppermute(fbuf, axis, perm_f)
+            recv_b = jax.lax.ppermute(bbuf, axis, perm_b)
+            # ---- forward unit: microbatch m_f = t − stage ----
+            m_f = t - stage
+            valid_f = jnp.logical_and(m_f >= 0, m_f < M)
+            x_t = xs_flat[jnp.clip(jnp.asarray(t), 0, M - 1)] \
+                if t < M else jnp.zeros((width,), dtype)
+            inp = jnp.where(stage == 0, x_t, recv_f)
+            save = jax.lax.dynamic_update_index_in_dim(
+                save, inp, t % ring, 0)
+            out = run_fwd(inp, m_f, valid_f)
+            # ---- loss seed at the last stage (m_last is STATIC) ----
+            m_last = t - (S - 1)
+            seed_g = jnp.zeros((width,), dtype)
+            if 0 <= m_last < M:
+                l_m, g_m = seed_fn(out, tg_flat[m_last])
+                seed_g = _pack_to(g_m, width, dtype)
+                loss = loss + jnp.where(stage == S - 1,
+                                        l_m.astype(loss_dt), 0.0)
+            # ---- backward unit: microbatch m_b = t − 2(S−1) + stage ----
+            m_b = t - 2 * (S - 1) + stage
+            valid_b = jnp.logical_and(m_b >= 0, m_b < M)
+            # its forward ran at slot t_f = m_b + stage; read the saved
+            # input boundary from the ring
+            t_f = m_b + stage
+            x_saved = jax.lax.dynamic_index_in_dim(
+                save, jnp.clip(t_f, 0, n_slots) % ring, 0, keepdims=False)
+            g_in = jnp.where(stage == S - 1, seed_g, recv_b)
+            dx, dp = run_bwd(x_saved, g_in, m_b, valid_b)
+            dp_acc = dp_acc + dp
+            fbuf, bbuf = out, dx
+
+        loss = jax.lax.psum(loss, axis)
+        return loss, dp_acc[None]
+
+    in_specs = (P(axis, None), P(), P()) + ((P(),) if key is not None else ())
+    fn = shard_map_fn(local, mesh, in_specs, (P(), P(axis, None)))
+    params_flat = jax.device_put(
+        params_flat, NamedSharding(mesh, P(axis, None)))
+    args = (params_flat, xs_flat, tg_flat) + (
+        (key,) if key is not None else ())
+    loss, dp_flat = fn(*args)
+
+    grads = []
+    for i in range(n_stages):
+        pw, pdt, unravel_p = p_packs[i]
+        grads.append(unravel_p(dp_flat[i, :pw].astype(pdt)))
+    return loss, grads

@@ -221,7 +221,7 @@ def test_cli_pp_flag(env_data_dir, capsys):
     assert "--pp: 3-stage pipeline" in out
     assert "avg_loss" in out
     with pytest.raises(SystemExit):
-        cu.main(["train", "1", "--tiny", "--pp", "--dp"])  # one mode per run
+        cu.main(["train", "1", "--tiny", "--pp", "--tp"])  # no --pp --tp
     with pytest.raises(SystemExit):
         # batch 2 not divisible into 4 microbatches
         cu.main(["train", "1", "--tiny", "--pp"])
@@ -231,6 +231,45 @@ def test_cli_pp_flag(env_data_dir, capsys):
         cu.main(["train", "1", "--tiny", "--pp", "--pp-micro=0"])
     with pytest.raises(ValueError):
         cu.main(["train", "1", "--tiny", "--pp", "--pp-micro"])
+
+
+def test_cli_pp_schedule_flag(env_data_dir, capsys):
+    """--pp-schedule=1f1b trains via the hand-scheduled pipeline; bad
+    values / --dp composition are hard errors."""
+    from big_linear_algebra_tpu.data import synth
+
+    synth.ensure_cifar(str(env_data_dir), n_batches=1, per_batch=8)
+    assert cu.main(["init", "--tiny"]) == 0
+    capsys.readouterr()
+    assert cu.main(["train", "1", "--tiny", "--pp", "--pp-micro=2",
+                    "--pp-schedule=1f1b", "--max-steps=2"]) == 0
+    out = capsys.readouterr().out
+    assert "1f1b schedule" in out and "avg_loss" in out
+    with pytest.raises(SystemExit, match="gpipe or 1f1b"):
+        cu.main(["train", "1", "--tiny", "--pp", "--pp-micro=2",
+                 "--pp-schedule=zigzag"])
+    with pytest.raises(SystemExit, match="does not compose"):
+        cu.main(["train", "1", "--tiny", "--pp", "--dp", "--pp-micro=2",
+                 "--pp-schedule=1f1b"])
+
+
+def test_cli_pp_dp_flag(env_data_dir, capsys):
+    """--pp --dp (VERDICT r3 #3): a 2-D 3-stage × N-data mesh trains via
+    make_train_step_pp(data_axis="data"); microbatch/data divisibility is a
+    hard error."""
+    from big_linear_algebra_tpu.data import synth
+
+    synth.ensure_cifar(str(env_data_dir), n_batches=1, per_batch=8)
+    assert cu.main(["init", "--tiny"]) == 0
+    capsys.readouterr()
+    assert cu.main(["train", "1", "--tiny", "--pp", "--dp", "--pp-micro=2",
+                    "--max-steps=2"]) == 0
+    out = capsys.readouterr().out
+    assert "--pp --dp: 3-stage pipeline" in out and "data shards" in out
+    assert "avg_loss" in out
+    with pytest.raises(SystemExit, match="not .*divisible"):
+        # 8 CPU devices -> 2 data shards; 1 microbatch cannot split over 2
+        cu.main(["train", "1", "--tiny", "--pp", "--dp", "--pp-micro=1"])
 
 
 def test_cli_tp_flag(env_data_dir, capsys):
@@ -516,3 +555,75 @@ def test_cli_scan_steps_and_host_loop(env_data_dir, capsys):
                     "--max-steps=2"]) == 0
     out = capsys.readouterr().out
     assert "avg_loss" in out
+
+
+# ---------------------------------------------------------------------------
+# bf16-resident params (--bf16-params): VERDICT r3 #1
+# ---------------------------------------------------------------------------
+
+BF16_CFG = __import__("dataclasses").replace(
+    CFG, param_dtype="bfloat16", compute_dtype="bfloat16")
+
+
+def test_bf16_params_tree_and_train_step(rng):
+    """param_dtype="bfloat16": every stored leaf is bf16, the Adam moments
+    are f32, a train step keeps the tree bf16, and a short run still
+    reduces the loss (the f32-in-optimizer round-trip must not destroy the
+    updates)."""
+    params = cu.init_params(jax.random.key(0), BF16_CFG)
+    for leaf in jax.tree.leaves(params):
+        assert leaf.dtype == jnp.bfloat16
+    opt = cu.adam_init(params)
+    for leaf in jax.tree.leaves(opt.m):
+        assert leaf.dtype == jnp.float32
+    x0 = jnp.asarray(rng.standard_normal((2, 3, 32, 32)) * 0.5, jnp.float32)
+    key = jax.random.key(2)
+    losses = []
+    for i in range(40):
+        key, ks = jax.random.split(key)
+        params, opt, loss = cu.train_step(params, opt, x0, ks, BF16_CFG)
+        losses.append(float(loss))
+    assert jax.tree.leaves(params)[0].dtype == jnp.bfloat16
+    assert np.isfinite(losses).all()
+    # same criterion as the f32 test_train_step_reduces_loss (the DDPM loss
+    # at TINY scale is dominated by the per-step timestep draw)
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]), losses
+
+
+def test_bf16_params_csv_round_trip(env_data_dir):
+    """bf16 params survive the CSV tree within the format's own precision:
+    the text layout is the reference's ``%f`` (6 decimals, lib/csv.c:59), so
+    the absolute truncation error is ≤5e-7 exactly as for f32 masters; a
+    value that lands on a bf16 rounding midpoint may additionally flip one
+    bf16 ulp (rel 2^-8)."""
+    params = cu.init_params(jax.random.key(0), BF16_CFG)
+    cu.save_params_csv(params, BF16_CFG)
+    loaded = cu.load_params_csv(BF16_CFG)
+    flat, _ = jax.tree_util.tree_flatten(params)
+    flat2, _ = jax.tree_util.tree_flatten(loaded)
+    for a, b in zip(flat, flat2):
+        assert b.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1 / 128, atol=1e-6)
+
+
+@pytest.mark.parametrize("first,second", [
+    ([], ["--bf16-params"]),      # f32 checkpoint resumed bf16-resident
+    (["--bf16-params"], []),      # bf16 checkpoint resumed full-precision
+])
+def test_cli_resume_across_param_dtype_switch(env_data_dir, capsys,
+                                              first, second):
+    """A train_state written under one param_dtype resumes under the other:
+    the restore dtype-aligns to the requested schema instead of failing or
+    silently keeping the saved dtypes (VERDICT r3 #1 'version the schema')."""
+    from big_linear_algebra_tpu.data import synth
+
+    synth.ensure_cifar(str(env_data_dir), n_batches=1, per_batch=8)
+    assert cu.main(["init", "--tiny"]) == 0
+    assert cu.main(["train", "1", "--tiny", "--max-steps=2"] + first) == 0
+    capsys.readouterr()
+    assert cu.main(["train", "1", "--tiny", "--max-steps=2"] + second) == 0
+    out = capsys.readouterr().out
+    assert "resumed train state at step 2" in out
+    assert "avg_loss" in out or "epoch" in out

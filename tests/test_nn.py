@@ -154,3 +154,96 @@ def test_mse_fractional_mask_primal_vjp_agree(rng):
     np.testing.assert_allclose(np.asarray(grad),
                                np.asarray(2.0 * m * (pred - target)),
                                rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Adam with bf16-resident params (f32 masters confined to the optimizer)
+# ---------------------------------------------------------------------------
+
+
+def test_adam_moments_promote_to_f32_for_bf16_params():
+    """bf16 params get f32 moments (the 'master precision' of the
+    optimizer); f32/f64 params keep their own dtype — the classic paths
+    are bit-identical to the pre-mixed-precision optimizer."""
+    from big_linear_algebra_tpu.nn.optim import adam_init
+
+    params = {"a": jnp.ones((3,), jnp.bfloat16),
+              "b": jnp.ones((3,), jnp.float32),
+              "c": jnp.ones((3,), jnp.float64)}
+    st = adam_init(params)
+    assert st.m["a"].dtype == jnp.float32
+    assert st.v["a"].dtype == jnp.float32
+    assert st.m["b"].dtype == jnp.float32
+    assert st.m["c"].dtype == jnp.float64
+
+
+def test_adam_bf16_update_is_f32_math_rounded(rng):
+    """One bf16-param Adam step == the same step on f32 copies of the
+    params/grads, rounded to bf16 at the very end (update arithmetic never
+    happens in bf16), and the returned moments stay exactly the f32 ones."""
+    from big_linear_algebra_tpu.nn.optim import adam_init, adam_update
+
+    p32 = jnp.asarray(rng.standard_normal((64,)) * 0.05, jnp.float32)
+    g32 = jnp.asarray(rng.standard_normal((64,)) * 0.1, jnp.float32)
+    # start from values exactly representable in bf16 so the only rounding
+    # under test is the one on the updated value
+    p32 = p32.astype(jnp.bfloat16).astype(jnp.float32)
+    g32 = g32.astype(jnp.bfloat16).astype(jnp.float32)
+
+    pb, gb = p32.astype(jnp.bfloat16), g32.astype(jnp.bfloat16)
+    new_b, st_b = adam_update(pb, gb, adam_init(pb), 1e-3)
+    new_f, st_f = adam_update(p32, g32, adam_init(p32), 1e-3)
+
+    assert new_b.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(new_b), np.asarray(new_f.astype(jnp.bfloat16)))
+    np.testing.assert_array_equal(np.asarray(st_b.m), np.asarray(st_f.m))
+    np.testing.assert_array_equal(np.asarray(st_b.v), np.asarray(st_f.v))
+
+
+def test_adam_f32_path_matches_textbook(rng):
+    """The f32 path is the plain Kingma-Ba update (regression guard for the
+    mixed-precision refactor: promote/cast must be identities here)."""
+    from big_linear_algebra_tpu.nn.optim import adam_init, adam_update
+
+    p = jnp.asarray(rng.standard_normal((16,)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((16,)), jnp.float32)
+    new_p, st = adam_update(p, g, adam_init(p), 1e-3)
+    m = 0.1 * np.asarray(g)
+    v = 0.001 * np.asarray(g) ** 2
+    want = np.asarray(p) - 1e-3 * (m / 0.1) / (np.sqrt(v / 0.001) + 1e-8)
+    np.testing.assert_allclose(np.asarray(new_p), want, rtol=1e-6)
+    assert st.m.dtype == jnp.float32 and new_p.dtype == jnp.float32
+
+
+def test_stochastic_round_bf16_exact_and_unbiased(rng):
+    """Exactly-representable values pass through unchanged for every key;
+    a midpoint value rounds each way with ~equal probability and the mean
+    of the rounded values approaches the true value (unbiasedness)."""
+    from big_linear_algebra_tpu.nn.optim import stochastic_round_bf16
+
+    exact = jnp.asarray(rng.standard_normal((256,)), jnp.float32)
+    exact = exact.astype(jnp.bfloat16).astype(jnp.float32)
+    for s in (0, 1, 2):
+        out = stochastic_round_bf16(exact, jnp.uint32(s))
+        np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                      np.asarray(exact))
+
+    # x = 1 + 0.25 ulp: round-to-nearest ALWAYS gives 1.0; SR must give
+    # the next bf16 (1 + ulp = 1.0078125) with p = 0.25
+    x = jnp.full((4096,), 1.0 + 0.25 * 2.0 ** -7, jnp.float32)
+    out = np.asarray(stochastic_round_bf16(x, jnp.uint32(7)), np.float32)
+    p_up = (out > 1.0).mean()
+    assert 0.2 < p_up < 0.3, p_up
+    np.testing.assert_allclose(out.mean(), 1.0 + 0.25 * 2.0 ** -7, rtol=3e-4)
+
+
+def test_adam_sr_key_only_touches_bf16(rng):
+    """sr_key must leave f32 params bit-identical to the keyless path."""
+    from big_linear_algebra_tpu.nn.optim import adam_init, adam_update
+
+    p = jnp.asarray(rng.standard_normal((32,)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((32,)), jnp.float32)
+    a, _ = adam_update(p, g, adam_init(p), 1e-3)
+    b, _ = adam_update(p, g, adam_init(p), 1e-3, sr_key=jax.random.key(3))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -413,3 +413,132 @@ def test_gpipe_grads_finite_with_nontotal_stage(rng):
     for i in range(4):
         seq = jax.vmap(lambda x, i=i: stage(sw[i], x))(seq)
     np.testing.assert_allclose(np.asarray(out), np.asarray(seq), atol=1e-10)
+
+
+def test_pp_dp_train_step_matches_sequential(rng):
+    """PP×DP (VERDICT r3 #3): make_train_step_pp on a 2-D 3-stage × 2-data
+    mesh — each data shard pipelines half the global microbatches, the
+    shard_map transpose all-reduces param grads over the data axis — must
+    match the same sequential microbatched reference as the 1-D PP test
+    (identical global-microbatch dropout fold chain), in f64 to ~1e-9."""
+    import dataclasses
+    from big_linear_algebra_tpu.models import cifar_unet as cu
+    from big_linear_algebra_tpu.nn.optim import adam_init, adam_update
+
+    cfg = dataclasses.replace(cu.TINY, compute_dtype="float64")
+    mesh = make_mesh({"stage": 3, "data": 2}, devices=jax.devices()[:6])
+    params = jax.tree.map(lambda a: a.astype(jnp.float64),
+                          cu.init_params(jax.random.key(0), cu.TINY))
+    opt = adam_init(params)
+    M = 4  # global microbatches: 2 per data shard
+    x0 = jnp.asarray(rng.standard_normal((8, 3, 32, 32)))
+    key = jax.random.key(11)
+
+    # Sequential reference first (pp_step donates its params/opt buffers).
+    fns = cu.unet_pipeline_stages(cfg, train=True)
+    xt, t, noise, kd = cu._ddpm_draws(x0, key, cfg)
+    mb = x0.shape[0] // M
+    xs = xt.reshape(M, mb, *x0.shape[1:])
+    ts = t.reshape(M, mb).astype(x0.dtype)
+
+    def loss_seq(p):
+        sp = cu.split_params_stages(p)
+        preds = []
+        for m in range(M):
+            b = (xs[m], ts[m])
+            for s, (fn, stage_p) in enumerate(zip(fns, sp)):
+                b = fn(stage_p, b, jax.random.fold_in(kd, s * M + m))
+            preds.append(b)
+        pred = jnp.stack(preds).reshape(x0.shape)
+        return cu.mse_loss(pred, noise) / float(np.prod(x0.shape))
+
+    loss_want, grads = jax.value_and_grad(loss_seq)(params)
+    p_want, o_want = adam_update(params, grads, opt, cfg.learn_rate)
+
+    pp_step = cu.make_train_step_pp(mesh, cfg, n_micro=M, data_axis="data")
+    p_pp, o_pp, loss_pp = pp_step(params, opt, x0, key)
+
+    np.testing.assert_allclose(float(loss_pp), float(loss_want), rtol=1e-9)
+    flat_got = jax.tree_util.tree_leaves_with_path(p_pp)
+    flat_want = dict(jax.tree_util.tree_leaves_with_path(p_want))
+    for path, leaf in flat_got:
+        a, b = np.asarray(leaf), np.asarray(flat_want[path])
+        np.testing.assert_allclose(
+            a, b, rtol=1e-8, atol=1e-10,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")
+    assert int(o_pp.step) == int(o_want.step)
+
+
+def test_gpipe_hetero_data_axis_validation():
+    """n_micro not divisible by the data axis is a loud error."""
+    from big_linear_algebra_tpu.parallel.pipeline import gpipe_hetero
+
+    mesh = make_mesh({"stage": 2, "data": 2}, devices=jax.devices()[:4])
+    fns = [lambda p, x: jnp.tanh(x @ p), lambda p, x: x @ p]
+    ps = [jnp.eye(4), jnp.eye(4)]
+    xs = jnp.ones((3, 2, 4))  # 3 microbatches over a 2-wide data axis
+    with pytest.raises(ValueError, match="not divisible by data axis"):
+        gpipe_hetero(fns, ps, xs, mesh, data_axis="data")
+
+
+def test_pp_1f1b_train_step_matches_sequential(rng):
+    """schedule="1f1b" (hand-scheduled one-forward-one-backward with the
+    analytic MSE seed at the last stage and in-slot vjp recompute) must
+    produce the same loss/params as the sequential microbatched reference —
+    the same comparator as the GPipe-autodiff test, f64 ~1e-9."""
+    import dataclasses
+    from big_linear_algebra_tpu.models import cifar_unet as cu
+    from big_linear_algebra_tpu.nn.optim import adam_init, adam_update
+
+    cfg = dataclasses.replace(cu.TINY, compute_dtype="float64")
+    mesh = make_mesh({"stage": 3}, devices=jax.devices()[:3])
+    params = jax.tree.map(lambda a: a.astype(jnp.float64),
+                          cu.init_params(jax.random.key(0), cu.TINY))
+    opt = adam_init(params)
+    M = 4
+    x0 = jnp.asarray(rng.standard_normal((4, 3, 32, 32)))
+    key = jax.random.key(11)
+
+    fns = cu.unet_pipeline_stages(cfg, train=True)
+    xt, t, noise, kd = cu._ddpm_draws(x0, key, cfg)
+    mb = x0.shape[0] // M
+    xs = xt.reshape(M, mb, *x0.shape[1:])
+    ts = t.reshape(M, mb).astype(x0.dtype)
+
+    def loss_seq(p):
+        sp = cu.split_params_stages(p)
+        preds = []
+        for m in range(M):
+            b = (xs[m], ts[m])
+            for s, (fn, stage_p) in enumerate(zip(fns, sp)):
+                b = fn(stage_p, b, jax.random.fold_in(kd, s * M + m))
+            preds.append(b)
+        pred = jnp.stack(preds).reshape(x0.shape)
+        return cu.mse_loss(pred, noise) / float(np.prod(x0.shape))
+
+    loss_want, grads = jax.value_and_grad(loss_seq)(params)
+    p_want, _ = adam_update(params, grads, opt, cfg.learn_rate)
+
+    pp_step = cu.make_train_step_pp(mesh, cfg, n_micro=M, schedule="1f1b")
+    p_pp, o_pp, loss_pp = pp_step(params, opt, x0, key)
+
+    np.testing.assert_allclose(float(loss_pp), float(loss_want), rtol=1e-9)
+    flat_got = jax.tree_util.tree_leaves_with_path(p_pp)
+    flat_want = dict(jax.tree_util.tree_leaves_with_path(p_want))
+    for path, leaf in flat_got:
+        a, b = np.asarray(leaf), np.asarray(flat_want[path])
+        np.testing.assert_allclose(
+            a, b, rtol=1e-8, atol=1e-10,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_hetero_stats_1f1b_fields():
+    from big_linear_algebra_tpu.parallel.pipeline import hetero_stats
+
+    fns = [lambda p, x: jnp.tanh(x @ p), lambda p, x: x @ p]
+    ps = [jnp.eye(4), jnp.eye(4)]
+    xs = jnp.ones((6, 2, 4))
+    st = hetero_stats(fns, ps, xs)
+    assert st["n_slots_1f1b"] == 6 + 2 * (2 - 1)
+    assert st["utilization_1f1b"] == pytest.approx(6 / 8)
+    assert st["n_slots_1f1b"] < 2 * st["n_ticks"]

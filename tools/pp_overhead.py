@@ -67,6 +67,9 @@ def analytic(cfg, batch, n_micro, label):
           f"{s['useful_boundary_bytes'] / s['ring_bytes_total']:.1%}")
     print(f"fill/drain: {s['fill_drain_ticks']} of {s['n_ticks']} ticks; "
           f"utilization {s['utilization']:.1%}")
+    print(f"1f1b schedule: {s['n_slots_1f1b']} fwd+bwd slots (vs "
+          f"{2 * s['n_ticks']} gpipe-autodiff tick traversals); "
+          f"utilization {s['utilization_1f1b']:.1%}")
     print(f"param flat widths: {s['param_widths']} -> padded "
           f"{s['param_padded_width']} ({s['param_dtype']})")
     return s
@@ -129,17 +132,24 @@ def measure(cfg, batch, n_micro):
     seq = make_seq_step(cfg, n_micro)
     t_seq, (p_s, o_s, l_s) = timeit(seq, params, adam_init(params), x0, key)
 
-    pp = cu.make_train_step_pp(mesh, cfg, n_micro=n_micro)
-    # pp_step donates params/opt — hand it fresh copies each call
-    pp_nodonate = jax.jit(
-        lambda p, o, x, k: pp(jax.tree.map(jnp.copy, p),
-                              jax.tree.map(jnp.copy, o), x, k))
-    t_pp, (p_p, o_p, l_p) = timeit(pp_nodonate, params, adam_init(params),
-                                   x0, key)
-    assert abs(float(l_p) - float(l_s)) < 1e-4, (float(l_p), float(l_s))
+    results = {}
+    for schedule in ("gpipe", "1f1b"):
+        pp = cu.make_train_step_pp(mesh, cfg, n_micro=n_micro,
+                                   schedule=schedule)
+        # pp_step donates params/opt — hand it fresh copies each call
+        pp_nodonate = jax.jit(
+            lambda p, o, x, k: pp(jax.tree.map(jnp.copy, p),
+                                  jax.tree.map(jnp.copy, o), x, k))
+        t_pp, (p_p, o_p, l_p) = timeit(pp_nodonate, params,
+                                       adam_init(params), x0, key)
+        assert abs(float(l_p) - float(l_s)) < 1e-4, (float(l_p), float(l_s))
+        results[schedule] = t_pp
     print(f"n_micro={n_micro}: sequential {t_seq * 1e3:8.1f} ms   "
-          f"pipeline {t_pp * 1e3:8.1f} ms   ratio {t_pp / t_seq:.2f}x")
-    return t_seq, t_pp
+          f"gpipe {results['gpipe'] * 1e3:8.1f} ms "
+          f"({results['gpipe'] / t_seq:.2f}x)   "
+          f"1f1b {results['1f1b'] * 1e3:8.1f} ms "
+          f"({results['1f1b'] / t_seq:.2f}x)")
+    return t_seq, results
 
 
 def main():

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, "/root/repo")  # tools/ is sys.path[0] when run as a script
 from bench import _trace_events
 
 _BYTES = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "pred": 1, "f64": 8,
@@ -37,10 +38,15 @@ def shape_bytes(ty):
     return total
 
 
-def main(iters=64):
-    from bench import unet_chunk_setup
+def main(iters=64, bf16_params=False):
+    import dataclasses
 
-    fn, args = unet_chunk_setup(iters=iters)
+    from bench import unet_chunk_setup
+    from big_linear_algebra_tpu.models import cifar_unet as cu
+
+    cfg = (dataclasses.replace(cu.CONFIG, param_dtype="bfloat16")
+           if bf16_params else None)
+    fn, args = unet_chunk_setup(cfg, iters=iters)
     hlo = fn.lower(*args).compile().as_text()
 
     # instruction name -> (op, result type). The type can be a tuple with
@@ -114,4 +120,6 @@ def main(iters=64):
 
 
 if __name__ == "__main__":
-    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 64))
+    argv = [a for a in sys.argv[1:] if a != "--bf16-params"]
+    sys.exit(main(int(argv[0]) if argv else 64,
+                  bf16_params="--bf16-params" in sys.argv))

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, "/root/repo")  # tools/ is sys.path[0] when run as a script
 from bench import _trace_events
 
 
