@@ -131,6 +131,12 @@ class Config:
     # the TPU hardware PRNG seeded from the step key — a different (still
     # deterministic-per-key) mask stream than the XLA path, same contract
     # as switching --prng. CLI: --fused-block.
+    # MEASURED LOSING in context (round 4, trace device-loop, batch 16
+    # reference scale): 3.745 vs 3.214 ms/step (f32 masters), 3.645 vs
+    # 3.030 (--bf16-params) — even amortizing the whole block into one
+    # pallas_call does not beat XLA's cross-op VMEM residency at the ≤64 KB
+    # activation sizes; the off-by-default kernel stays a tested building
+    # block (BASELINE.md "Kernel-vs-XLA decisions").
     fused_block: bool = False
 
 
