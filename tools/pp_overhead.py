@@ -21,7 +21,10 @@ Run: python tools/pp_overhead.py   (results recorded in BASELINE.md)
 """
 
 import os
+import sys
 import time
+
+sys.path.insert(0, "/root/repo")  # tools/ is sys.path[0] when run as a script
 
 _FLAGS = "--xla_force_host_platform_device_count=8"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") + " " +
