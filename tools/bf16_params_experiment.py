@@ -11,9 +11,10 @@ time). Reference training loop: /root/reference/model/cifar_unet.c:1874-1934.
 """
 
 import dataclasses
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo root (tools/ is sys.path[0] when run as a script)
 
 from bench import unet_chunk_setup, unet_chunk_probe, _loop_time_from_trace
 

@@ -16,9 +16,10 @@ Results recorded in BASELINE.md ("Fused resnet-block kernel" section).
 """
 
 import dataclasses
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo root (tools/ is sys.path[0] when run as a script)
 
 from bench import unet_chunk_setup, unet_chunk_probe, _loop_time_from_trace
 

@@ -24,7 +24,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")  # tools/ is sys.path[0] when run as a script
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo root (tools/ is sys.path[0] when run as a script)
 
 _FLAGS = "--xla_force_host_platform_device_count=8"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") + " " +

@@ -10,13 +10,14 @@ Run: PYTHONPATH=/root/repo python tools/profile_unet_step.py [iters]
 """
 
 import collections
+import os
 import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, "/root/repo")  # tools/ is sys.path[0] when run as a script
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo root (tools/ is sys.path[0] when run as a script)
 from bench import _trace_events
 
 

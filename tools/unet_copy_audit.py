@@ -11,13 +11,14 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/unet_copy_audit.py
 
 import collections
 import re
+import os
 import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, "/root/repo")  # tools/ is sys.path[0] when run as a script
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo root (tools/ is sys.path[0] when run as a script)
 from bench import _trace_events
 
 _BYTES = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "pred": 1, "f64": 8,
