@@ -35,6 +35,18 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/bla_jax_cache")
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+# The env default above only reaches jax.config if jax was first imported
+# AFTER it was set. Tools that `import jax` before `import bench` would
+# otherwise run with the persistent cache silently DISABLED (and
+# models/common.py skips its own fallback when the env var looks set) —
+# through the remote-compile tunnel that turns cached 2-minute measurements
+# into ~25-minute cold compiles. Make enabling unconditional and
+# import-order-proof.
+if not jax.config.jax_compilation_cache_dir:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 # Peak bf16 MXU throughput per chip.
 _ROOFLINE_BF16 = {
     "TPU v5 lite": 197e12,
