@@ -389,7 +389,12 @@ def bench_flash_attention(b=4, n=4096, d=128, dtype=jnp.bfloat16):
 def bench_mnist_nn(iters=2048):
     """Training images/sec/chip: device time of the compiled train-step loop
     (the trace's ``while`` event — exact device time of all per-step kernels;
-    the r1 slope method swung ±35% run-to-run through the tunnel)."""
+    the r1 slope method swung ±35% run-to-run through the tunnel).
+
+    unroll=2: at an ~8 µs step the loop's fixed per-iteration cost is
+    measurable; the round-5 sweep (1/2/4/8 → 8.22/7.24/7.24/7.31 µs/step)
+    showed 2 captures all of it. The chain stays data-dependent (params
+    thread through), so the anti-dedup property is unchanged."""
     from big_linear_algebra_tpu.models import mnist_nn
 
     cfg = mnist_nn.CONFIG
@@ -406,7 +411,7 @@ def bench_mnist_nn(iters=2048):
         def body(_, p):
             p2, _, _ = mnist_nn.train_step(p, x, onehot, mask, cfg)
             return p2
-        p = jax.lax.fori_loop(0, iters, body, params)
+        p = jax.lax.fori_loop(0, iters, body, params, unroll=2)
         return jnp.sum(p["b3"])
 
     float(chain(params))  # warm

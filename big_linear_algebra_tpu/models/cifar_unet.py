@@ -138,6 +138,19 @@ class Config:
     # activation sizes; the off-by-default kernel stays a tested building
     # block (BASELINE.md "Kernel-vs-XLA decisions").
     fused_block: bool = False
+    # lax.scan unroll factor for the chunked/epoch training loops. Each
+    # scan iteration pays a fixed per-step dynamic-slice/DMA cost on its
+    # xs/carry traffic (the round-4 copy audit measured 72 µs/step of
+    # slice overhead, 641 slice-dones per 64-step chunk at reference
+    # scale); unrolling amortizes that fixed cost across k steps without
+    # changing the per-step op order (XLA's fusion of the unrolled body
+    # reassociates float reductions at the ulp level — equivalence tested
+    # in f64).
+    # Measured on the reference-scale bf16-params chunk (round 5,
+    # tools/flat_moments_experiment.py): unroll=1 3.030, unroll=2 2.995,
+    # unroll=4 2.986 ms/step. CLI: --scan-unroll=N (1 restores the old
+    # graphs).
+    scan_unroll: int = 4
 
 
 CONFIG = Config()
@@ -788,7 +801,7 @@ def train_chunk(params, opt_state: AdamState, xs, keys,
         return (p, o), loss
 
     (params, opt_state), losses = jax.lax.scan(
-        body, (params, opt_state), (xs, keys))
+        body, (params, opt_state), (xs, keys), unroll=cfg.scan_unroll)
     return params, opt_state, losses
 
 
@@ -819,7 +832,7 @@ def epoch_step(params, opt_state: AdamState, data, perm, key,
         return (p, o, k), loss
 
     (params, opt_state, _), losses = jax.lax.scan(
-        body, (params, opt_state, key), idx)
+        body, (params, opt_state, key), idx, unroll=cfg.scan_unroll)
     return params, opt_state, losses
 
 
@@ -888,7 +901,7 @@ def make_epoch_step_dp(mesh, cfg: Config = CONFIG, axis: str = "data"):
             return (p, o, k), loss
 
         (params, opt_state, _), losses = jax.lax.scan(
-            body, (params, opt_state, key), idx)
+            body, (params, opt_state, key), idx, unroll=cfg.scan_unroll)
         return params, opt_state, losses
 
     fn = spmd.shard_map_fn(local_epoch, mesh,
@@ -1005,9 +1018,6 @@ def make_train_step_pp(mesh, cfg: Config = CONFIG, axis: str = "stage",
             f"{data_axis!r} of size {mesh.shape[data_axis]}")
     if schedule not in ("gpipe", "1f1b"):
         raise ValueError(f"schedule must be gpipe or 1f1b, got {schedule!r}")
-    if schedule == "1f1b" and data_axis is not None:
-        raise ValueError("schedule='1f1b' does not compose with data_axis "
-                         "yet; use the gpipe schedule for PPxDP")
 
     def step(params, opt_state: AdamState, x0, key):
         b = x0.shape[0]
@@ -1035,7 +1045,7 @@ def make_train_step_pp(mesh, cfg: Config = CONFIG, axis: str = "stage",
 
             loss, stage_grads = gpipe_hetero_1f1b(
                 fns, split_params_stages(params), (xs, ts), noise_m,
-                seed_fn, mesh, axis, key=kd)
+                seed_fn, mesh, axis, key=kd, data_axis=data_axis)
             grads = {}
             for g_tree in stage_grads:  # disjoint stage subtrees
                 grads.update(g_tree)
@@ -1315,6 +1325,9 @@ def _cfg_from_flags(flags) -> Config:
         cfg = dataclasses.replace(cfg, param_dtype="bfloat16")
     if common.presence_flag(flags, "fused-block"):
         cfg = dataclasses.replace(cfg, fused_block=True)
+    if "scan-unroll" in flags:
+        cfg = dataclasses.replace(
+            cfg, scan_unroll=common.positive_int_flag(flags, "scan-unroll"))
     return cfg
 
 
@@ -1456,9 +1469,6 @@ def train(num_epochs: int, *args, flags=None) -> None:
         if schedule not in ("gpipe", "1f1b"):
             raise SystemExit(
                 f"--pp-schedule must be gpipe or 1f1b, got {schedule!r}")
-        if schedule == "1f1b" and "dp" in flags:
-            raise SystemExit("--pp-schedule=1f1b does not compose with "
-                             "--dp yet; drop one of them")
         n_local = len(jax.local_devices())
         if "dp" in flags and n_local >= 6:
             # PP×DP: stage axis 3 (down/mid/up), the rest data-parallel
@@ -1471,9 +1481,10 @@ def train(num_epochs: int, *args, flags=None) -> None:
             pp_mesh = make_mesh({"stage": 3, "data": n_data},
                                 devices=jax.devices()[:3 * n_data])
             pp_step = make_train_step_pp(pp_mesh, cfg, n_micro=n_micro,
-                                         data_axis="data")
+                                         data_axis="data",
+                                         schedule=schedule)
             print(f"--pp --dp: 3-stage pipeline × {n_data} data shards, "
-                  f"{n_micro} global microbatches")
+                  f"{n_micro} global microbatches, {schedule} schedule")
         elif "dp" in flags:
             print(f"--pp --dp needs >= 6 devices (3 stages × >=2 data "
                   f"shards), have {n_local}; running pure --pp")
@@ -1485,6 +1496,23 @@ def train(num_epochs: int, *args, flags=None) -> None:
                   f"{n_micro} microbatches, {schedule} schedule")
         elif pp_step is None:
             print("--pp: fewer than 3 devices, running unsharded")
+        if pp_step is not None:
+            # Replicate the train state onto the pipeline mesh: a resumed
+            # checkpoint arrives committed to the default device, and jit
+            # rejects single-device-committed args against the pipeline's
+            # in-jit mesh placement ("incompatible devices") — fresh-init
+            # numpy trees were only uncommitted by luck.
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(pp_mesh, PartitionSpec())
+            params = jax.device_put(params, rep)
+            opt_state = jax.device_put(opt_state, rep)
+            # the RNG key too: a checkpoint-restored key is committed to
+            # the default device, and jax.random.split propagates that
+            # commitment to every per-step key (fresh root_key outputs are
+            # uncommitted, which is why only RESUMED --pp runs tripped the
+            # "incompatible devices" error)
+            key = jax.device_put(key, rep)
     # absent = whole epoch; --max-steps must be >= 1 when given (a bare
     # flag silently meaning "no limit" would invert the intent)
     max_steps = common.int_flag(flags, "max-steps", default=0, minimum=1)
@@ -1561,6 +1589,12 @@ def train(num_epochs: int, *args, flags=None) -> None:
                 from jax.sharding import NamedSharding, PartitionSpec
                 sharding = NamedSharding(dp_mesh,
                                          PartitionSpec("data"))
+            elif pp_step is not None:
+                # place batches replicated on the PIPELINE mesh: a batch
+                # committed to the default device conflicts with the
+                # pipeline-mesh train state ("incompatible devices")
+                from jax.sharding import NamedSharding, PartitionSpec
+                sharding = NamedSharding(pp_mesh, PartitionSpec())
             batches = prefetch_to_device(batches, size=2, sharding=sharding)
         for step_i, imgs in enumerate(batches):
             if max_steps and step_i >= max_steps:
@@ -1642,7 +1676,7 @@ def main(argv=None) -> int:
                      "scan-steps", "host-loop", "sample-seed", "keep",
                      "keep-best", "batch", "layout", "remat", "prng",
                      "image-size", "bf16-params", "fused-block",
-                     "pp-schedule"),
+                     "pp-schedule", "scan-unroll"),
     )
 
 

@@ -61,6 +61,12 @@ class Config:
     learn_rate: float = 0.02       # SGD_LEARN_RATE_MULTIPLIER, :12
     grad_clip: float = float("inf")  # SGD_GRADIENT_CLIP, :13
     seed: int = 42                 # srand(42), :513
+    # lax.scan unroll for the fused-epoch paths. The train step is ~8-10 µs,
+    # so the scan's fixed per-iteration slice/DMA cost is proportionally
+    # large; unrolling amortizes it without changing the per-step op order
+    # (same lever as cifar_unet.Config.scan_unroll — measured round 5:
+    # resident epoch 10.16 → 9.64 µs/step at unroll=4, +5.4% img/s).
+    scan_unroll: int = 4
 
     @property
     def sizes(self):
@@ -197,7 +203,8 @@ def epoch_step_resident(params, x_dev, y_dev, perm, cfg: Config = CONFIG):
         p = jax.tree.map(lambda w, g: w - cfg.learn_rate * g, p, grads)
         return p, (correct, ce_sum)
 
-    params, (corrects, ces) = jax.lax.scan(body, params, idx)
+    params, (corrects, ces) = jax.lax.scan(body, params, idx,
+                                           unroll=cfg.scan_unroll)
     return params, jnp.sum(corrects), jnp.sum(ces)
 
 
@@ -219,7 +226,8 @@ def epoch_step(params, xs, onehots, masks, cfg: Config = CONFIG):
         return p, (correct, ce_sum)
 
     params, (corrects, ces) = jax.lax.scan(body, params,
-                                           (xs, onehots, masks))
+                                           (xs, onehots, masks),
+                                           unroll=cfg.scan_unroll)
     return params, jnp.sum(corrects), jnp.sum(ces)
 
 
@@ -362,7 +370,8 @@ def make_epoch_resident_dp(mesh, cfg: Config = CONFIG, axis: str = "data"):
             return p, (jax.lax.psum(correct, axis),
                        jax.lax.psum(ce_sum, axis))
 
-        params, (corrects, ces) = jax.lax.scan(body, params, idx)
+        params, (corrects, ces) = jax.lax.scan(body, params, idx,
+                                               unroll=cfg.scan_unroll)
         return params, jnp.sum(corrects), jnp.sum(ces)
 
     fn = shard_map_fn(local_epoch, mesh,
@@ -417,6 +426,9 @@ def train(num_epochs: int, *args, flags=None, cfg: Config = CONFIG) -> None:
         # the per-step GEMMs are far below MXU saturation at batch 64
         cfg = dataclasses.replace(
             cfg, batch_size=common.positive_int_flag(flags, "batch"))
+    if "scan-unroll" in (flags or {}):
+        cfg = dataclasses.replace(
+            cfg, scan_unroll=common.positive_int_flag(flags, "scan-unroll"))
     train_csv, _ = synth.ensure_mnist(str(common.data_dir()))
     if layout_exists(str(ckpt_dir()), _LAYOUT):
         params = load_params_csv()   # training IS resume (mnist_nn.c:165-170)
@@ -500,7 +512,8 @@ def run(num_predictions: int = -1, flags=None, cfg: Config = CONFIG) -> None:
 
 def main(argv=None) -> int:
     return common.run_cli("mnist_nn", init, train, run, argv=argv,
-                          extra_flags=("dp", "per-batch", "batch"))
+                          extra_flags=("dp", "per-batch", "batch",
+                                       "scan-unroll"))
 
 
 if __name__ == "__main__":

@@ -132,14 +132,23 @@ def make_sgd_step(activations: Sequence[str]):
     return step
 
 
-def make_sgd_scan(activations: Sequence[str]):
+def make_sgd_scan(activations: Sequence[str], unroll: int = 2):
     """Many per-example SGD steps in one dispatch:
     ``run(params, xs (T, in), ys (T, out), lr) -> (params, costs (T,))``.
 
     Semantically identical to T sequential ``sgd_step`` calls (online SGD in
     example order); each cost is the pre-update squared error, matching the
     reference's logging (model/my_first_model.c:102-105 computes the cost
-    from the forward pass it then backprops)."""
+    from the forward pass it then backprops).
+
+    ``unroll``: scan codegen knob — a per-example step is only a few µs, so
+    the scan's fixed per-iteration slice/DMA cost is a measurable fraction;
+    unrolling amortizes it without changing the per-step op order (the same
+    lever as ``cifar_unet.Config.scan_unroll``). The round-5 TPU sweep picked
+    2: mnist_legacy 6.69/6.09/7.15/7.96 µs/step and my_first_model
+    3.37/2.73/3.09/2.99 at unroll 1/2/4/8 — past 2 the unrolled body's
+    register/VMEM pressure outweighs the amortization at these tiny shapes
+    (BASELINE.md round 5)."""
     acts = tuple(activations)
 
     @jax.jit
@@ -149,6 +158,6 @@ def make_sgd_scan(activations: Sequence[str]):
             new_p, c = _sgd_step_cost(p, acts, x, y, lr)
             return new_p, c
 
-        return jax.lax.scan(body, params, (xs, ys))
+        return jax.lax.scan(body, params, (xs, ys), unroll=unroll)
 
     return run

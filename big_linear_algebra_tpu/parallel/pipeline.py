@@ -400,7 +400,8 @@ def gpipe_hetero(stage_fns: Sequence[Callable], stage_params: Sequence,
 
 def gpipe_hetero_1f1b(stage_fns: Sequence[Callable], stage_params: Sequence,
                       xs, targets, seed_fn: Callable, mesh: Mesh,
-                      axis: str = "stage", key=None):
+                      axis: str = "stage", key=None,
+                      data_axis: str | None = None):
     """Heterogeneous pipeline TRAINING pass on a 1F1B schedule.
 
     ``gpipe_hetero`` + ``jax.grad`` runs all-forward-then-all-backward: the
@@ -426,6 +427,16 @@ def gpipe_hetero_1f1b(stage_fns: Sequence[Callable], stage_params: Sequence,
     the SAME ``fold_in(key, s·n_micro + m)`` chain as ``gpipe_hetero``
     (sequential-reproducible; the backward recompute re-folds identically).
 
+    ``data_axis`` (1F1B × DP): on a 2-D ``stage×data`` mesh the global
+    microbatch stack is sharded over ``data_axis`` — each data coordinate
+    runs an independent 1F1B ring over its ``n_micro / n_data`` local
+    microbatches; dropout folds use GLOBAL microbatch indices (same chain
+    as the 1-D run over the full stack), and the per-stage gradient
+    accumulators and the loss sum are ``psum``-reduced over ``data_axis``
+    (params are stage-sharded, data-replicated — the explicit psum is this
+    hand-scheduled pass's equivalent of the shard_map transpose that
+    inserts the DP all-reduce for the autodiff'd ``gpipe_hetero``).
+
     Returns ``(loss_sum, stage_grads)``: the summed per-microbatch losses
     and a list of per-stage parameter-gradient pytrees."""
     from big_linear_algebra_tpu.parallel.spmd import shard_map_fn
@@ -436,6 +447,13 @@ def gpipe_hetero_1f1b(stage_fns: Sequence[Callable], stage_params: Sequence,
                          f"need {n_stages} (one device per stage)")
     n_micro, b_packs, width, dtype, p_packs, p_width, p_dtype = _hetero_plan(
         stage_fns, stage_params, xs, key)
+    n_data = 1
+    if data_axis is not None:
+        n_data = mesh.shape[data_axis]
+        if n_micro % n_data:
+            raise ValueError(
+                f"{n_micro} microbatches not divisible by data axis "
+                f"{data_axis!r} of size {n_data}")
     t_packs = [_flat_packer(jax.eval_shape(
         lambda t: jax.tree.map(lambda a: a[0], t), targets))]
     tw = t_packs[0][0]
@@ -478,7 +496,10 @@ def gpipe_hetero_1f1b(stage_fns: Sequence[Callable], stage_params: Sequence,
                            t_packs[0][1])
     )(jnp.arange(n_micro))
 
-    S, M = n_stages, n_micro
+    # M: microbatches per data coordinate (== n_micro without data_axis);
+    # the dropout fold chain always uses GLOBAL microbatch indices against
+    # n_micro so any data split reproduces the sequential stream
+    S, M = n_stages, n_micro // n_data
     ring = 2 * S - 1  # longest fwd→bwd in-flight window + 1
     n_slots = M + 2 * (S - 1)
     acc_dt = jnp.promote_types(p_dtype, jnp.float32)
@@ -486,15 +507,19 @@ def gpipe_hetero_1f1b(stage_fns: Sequence[Callable], stage_params: Sequence,
     def local(params_flat, xs_flat, tg_flat, *key_arg):
         pflat = params_flat[0]
         stage = jax.lax.axis_index(axis)
+        micro_base = (jax.lax.axis_index(data_axis) * M
+                      if data_axis is not None else 0)
         perm_f = [(i, (i + 1) % S) for i in range(S)]
         perm_b = [((i + 1) % S, i) for i in range(S)]
+
+        def fold_key(m):
+            micro = micro_base + jnp.clip(m, 0, M - 1)
+            return jax.random.fold_in(key_arg[0], stage * n_micro + micro)
 
         def run_fwd(inp, m, valid):
             args = (inp, pflat)
             if key_arg:
-                k = jax.random.fold_in(
-                    key_arg[0], stage * M + jnp.clip(m, 0, M - 1))
-                args = args + (k,)
+                args = args + (fold_key(m),)
             return jax.lax.cond(
                 valid,
                 lambda *a: jax.lax.switch(stage, fwd_branches, *a),
@@ -503,9 +528,7 @@ def gpipe_hetero_1f1b(stage_fns: Sequence[Callable], stage_params: Sequence,
         def run_bwd(x_saved, g, m, valid):
             args = (x_saved, pflat, g)
             if key_arg:
-                k = jax.random.fold_in(
-                    key_arg[0], stage * M + jnp.clip(m, 0, M - 1))
-                args = args + (k,)
+                args = args + (fold_key(m),)
             return jax.lax.cond(
                 valid,
                 lambda *a: jax.lax.switch(stage, bwd_branches, *a),
@@ -555,9 +578,17 @@ def gpipe_hetero_1f1b(stage_fns: Sequence[Callable], stage_params: Sequence,
             fbuf, bbuf = out, dx
 
         loss = jax.lax.psum(loss, axis)
+        if data_axis is not None:
+            # params are data-replicated: reduce the per-data-coordinate
+            # grad accumulators (and the loss) so every replica returns the
+            # same global values — the outputs are data-axis-replicated
+            loss = jax.lax.psum(loss, data_axis)
+            dp_acc = jax.lax.psum(dp_acc, data_axis)
         return loss, dp_acc[None]
 
-    in_specs = (P(axis, None), P(), P()) + ((P(),) if key is not None else ())
+    xs_spec = P(data_axis, None) if data_axis is not None else P()
+    in_specs = (P(axis, None), xs_spec, xs_spec) + (
+        (P(),) if key is not None else ())
     fn = shard_map_fn(local, mesh, in_specs, (P(), P(axis, None)))
     params_flat = jax.device_put(
         params_flat, NamedSharding(mesh, P(axis, None)))

@@ -76,6 +76,50 @@ def test_train_step_reduces_loss(rng):
     assert np.mean(losses[-10:]) < np.mean(losses[:10]), losses
 
 
+def test_scan_unroll_preserves_training_math(rng):
+    """Config.scan_unroll only changes code generation (slice-overhead
+    amortization, round-5 measurement): the per-step op ORDER is unchanged,
+    but XLA fuses the unrolled body differently, reassociating float
+    reductions at the ulp level (measured ~1e-6 rel on an f32 loss). In f64
+    the reassociation noise stays far below f32-grad resolution, so
+    train_chunk losses and final params must agree tightly across unroll
+    factors — including a K not divisible by the factor."""
+    import dataclasses
+
+    x = jnp.asarray(rng.standard_normal((5, 2, 3, 32, 32)) * 0.5,
+                    jnp.float32)  # K=5: exercises the unroll remainder
+    keys = jax.random.split(jax.random.key(3), 5)
+    results = {}
+    for unroll in (1, 4):
+        cfg = dataclasses.replace(cu.TINY, compute_dtype="float64",
+                                  scan_unroll=unroll)
+        params = cu.init_params(jax.random.key(0), cfg)
+        opt = cu.adam_init(params)
+        p, o, losses = jax.jit(
+            lambda p, o, x, k, cfg=cfg: cu.train_chunk(p, o, x, k, cfg)
+        )(params, opt, x, keys)
+        results[unroll] = (np.asarray(losses),
+                           np.asarray(p["output_conv"], np.float64))
+    np.testing.assert_allclose(results[1][0], results[4][0], rtol=1e-6)
+    np.testing.assert_allclose(results[1][1], results[4][1],
+                               rtol=1e-5, atol=1e-8)
+
+
+def test_cli_scan_unroll_flag(env_data_dir, capsys):
+    """--scan-unroll=N reaches Config; non-positive values are loud."""
+    from big_linear_algebra_tpu.data import synth
+    from big_linear_algebra_tpu.models import common
+
+    synth.ensure_cifar(str(env_data_dir), n_batches=1, per_batch=8)
+    assert cu.main(["init", "--tiny"]) == 0
+    capsys.readouterr()
+    assert cu.main(["train", "1", "--tiny", "--scan-unroll=2"]) == 0
+    assert "avg_loss" in capsys.readouterr().out
+    _, flags = common.parse_flags(["--scan-unroll=0"])
+    with pytest.raises(ValueError, match="must be positive"):
+        cu._cfg_from_flags({**flags, "tiny": ""})
+
+
 def test_bf16_compute_forward_and_learning(rng):
     import dataclasses
 
@@ -248,9 +292,12 @@ def test_cli_pp_schedule_flag(env_data_dir, capsys):
     with pytest.raises(SystemExit, match="gpipe or 1f1b"):
         cu.main(["train", "1", "--tiny", "--pp", "--pp-micro=2",
                  "--pp-schedule=zigzag"])
-    with pytest.raises(SystemExit, match="does not compose"):
-        cu.main(["train", "1", "--tiny", "--pp", "--dp", "--pp-micro=2",
-                 "--pp-schedule=1f1b"])
+    # 1F1B composes with --dp (2-D stage×data mesh, 1f1b ring per shard)
+    assert cu.main(["train", "1", "--tiny", "--pp", "--dp", "--pp-micro=2",
+                    "--pp-schedule=1f1b", "--max-steps=2"]) == 0
+    out = capsys.readouterr().out
+    assert "data shards, 2 global microbatches, 1f1b schedule" in out
+    assert "avg_loss" in out
 
 
 def test_cli_pp_dp_flag(env_data_dir, capsys):

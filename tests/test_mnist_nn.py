@@ -235,5 +235,11 @@ def test_cli_end_to_end(tmp_path, capsys):
         # whole-set eval
         assert mnist_nn.main(["run"]) == 0
         assert "64 digits" in capsys.readouterr().out
+        # --scan-unroll reaches Config (epoch codegen knob, round 5);
+        # non-positive values are loud
+        assert mnist_nn.main(["train", "1", "--scan-unroll=2"]) == 0
+        assert "avg_accuracy" in capsys.readouterr().out
+        with pytest.raises(ValueError, match="must be positive"):
+            mnist_nn.main(["train", "1", "--scan-unroll=0"])
     finally:
         del os.environ["BLA_DATA_DIR"]

@@ -532,6 +532,77 @@ def test_pp_1f1b_train_step_matches_sequential(rng):
             err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")
 
 
+def test_pp_1f1b_dp_train_step_matches_sequential(rng):
+    """1F1B × DP: schedule="1f1b" on a 2-D 3-stage × 2-data mesh — each
+    data shard runs its own hand-scheduled ring over half the global
+    microbatches, grads/loss psum over the data axis — must match the SAME
+    sequential reference as the 1-D 1F1B test (global-microbatch dropout
+    folds), f64 ~1e-9."""
+    import dataclasses
+    from big_linear_algebra_tpu.models import cifar_unet as cu
+    from big_linear_algebra_tpu.nn.optim import adam_init, adam_update
+
+    cfg = dataclasses.replace(cu.TINY, compute_dtype="float64")
+    mesh = make_mesh({"stage": 3, "data": 2}, devices=jax.devices()[:6])
+    params = jax.tree.map(lambda a: a.astype(jnp.float64),
+                          cu.init_params(jax.random.key(0), cu.TINY))
+    opt = adam_init(params)
+    M = 4  # global microbatches: 2 per data shard
+    x0 = jnp.asarray(rng.standard_normal((8, 3, 32, 32)))
+    key = jax.random.key(11)
+
+    fns = cu.unet_pipeline_stages(cfg, train=True)
+    xt, t, noise, kd = cu._ddpm_draws(x0, key, cfg)
+    mb = x0.shape[0] // M
+    xs = xt.reshape(M, mb, *x0.shape[1:])
+    ts = t.reshape(M, mb).astype(x0.dtype)
+
+    def loss_seq(p):
+        sp = cu.split_params_stages(p)
+        preds = []
+        for m in range(M):
+            b = (xs[m], ts[m])
+            for s, (fn, stage_p) in enumerate(zip(fns, sp)):
+                b = fn(stage_p, b, jax.random.fold_in(kd, s * M + m))
+            preds.append(b)
+        pred = jnp.stack(preds).reshape(x0.shape)
+        return cu.mse_loss(pred, noise) / float(np.prod(x0.shape))
+
+    loss_want, grads = jax.value_and_grad(loss_seq)(params)
+    p_want, _ = adam_update(params, grads, opt, cfg.learn_rate)
+
+    pp_step = cu.make_train_step_pp(mesh, cfg, n_micro=M, schedule="1f1b",
+                                    data_axis="data")
+    p_pp, o_pp, loss_pp = pp_step(params, opt, x0, key)
+
+    np.testing.assert_allclose(float(loss_pp), float(loss_want), rtol=1e-9)
+    flat_got = jax.tree_util.tree_leaves_with_path(p_pp)
+    flat_want = dict(jax.tree_util.tree_leaves_with_path(p_want))
+    for path, leaf in flat_got:
+        a, b = np.asarray(leaf), np.asarray(flat_want[path])
+        np.testing.assert_allclose(
+            a, b, rtol=1e-8, atol=1e-10,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_gpipe_hetero_1f1b_data_axis_validation():
+    """n_micro not divisible by the data axis is a loud error (1F1B)."""
+    from big_linear_algebra_tpu.parallel.pipeline import gpipe_hetero_1f1b
+
+    mesh = make_mesh({"stage": 2, "data": 2}, devices=jax.devices()[:4])
+    fns = [lambda p, x: jnp.tanh(x @ p), lambda p, x: x @ p]
+    ps = [jnp.eye(4), jnp.eye(4)]
+    xs = jnp.ones((3, 2, 4))  # 3 microbatches over a 2-wide data axis
+    tg = jnp.zeros((3, 2, 4))
+
+    def seed(pred, t):
+        d = pred[:8] - t[:8]
+        return jnp.sum(d * d), 2.0 * d
+
+    with pytest.raises(ValueError, match="not divisible by data axis"):
+        gpipe_hetero_1f1b(fns, ps, xs, tg, seed, mesh, data_axis="data")
+
+
 def test_hetero_stats_1f1b_fields():
     from big_linear_algebra_tpu.parallel.pipeline import hetero_stats
 
